@@ -1,0 +1,124 @@
+"""Cluster-mode (multi-profile) genome miner - the TPU-native
+``Omn_KmerGMA!`` (ref /root/reference/src/OmnGenomeMiner.jl:7-162).
+
+Each cluster profile scans with its own windowsize and exact integer scale
+(its cluster size R_m).  The m per-cluster candidate streams are merged in
+(i, cluster) order and replayed through the reference's exact hit-processing
+semantics, including both overlap suppressions:
+
+  * pre-alignment: reject if the candidate minimum index lies inside the
+    previous accepted hit's range (OmnGenomeMiner.jl:126),
+  * post-alignment: reject unless the trimmed range is fully left or right
+    of the previous hit (OmnGenomeMiner.jl:139),
+
+and the quirk that rejected hits do NOT reset the cluster's running minimum
+(OmnGenomeMiner.jl:153 only executes on accept).  The main loop is bounded
+by the LARGEST windowsize (i <= len - max(ws) - k + 2, OmnGenomeMiner.jl:89),
+so smaller clusters' trailing windows are never scanned - reproduced here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.align import cigar_to_unitrange, semiglobal_align
+from ..ops.reference import RefProfile
+from ..ops.scan import ScanEngine
+from ..utils.fasta import FastaRecord, PathOrRecords, as_records
+from .miner import MineResult, fmt_dist
+from .state_machine import OmnHitEvent, replay_omn
+
+
+def mine_genome_clusters(
+    genome: PathOrRecords,
+    profiles: list[RefProfile],
+    thr_vec: list[float],
+    buff: int = 50,
+    do_align: bool = True,
+    gap_open: int = -200,
+    gap_extend: int = -1,
+    do_return_dists: bool = False,
+    do_return_align: bool = False,
+    get_hit_loci: bool = False,
+) -> MineResult:
+    m = len(profiles)
+    if len(thr_vec) != m:
+        raise ValueError(f"{m} cluster profiles but {len(thr_vec)} thresholds")
+    k = profiles[0].k
+    windowsizes = [p.windowsize for p in profiles]
+    maxws = max(windowsizes)
+    engines = [
+        ScanEngine(p.sum_kfv, k=k, ws=p.windowsize, r=p.n_records) for p in profiles
+    ]
+
+    res = MineResult()
+    dist_parts: list[list[np.ndarray]] = [[] for _ in range(m)]
+
+    genome_pos = 0
+    for record in as_records(genome):
+        seq_len = len(record)
+        imax = seq_len - maxws - k + 2
+        if imax < 1:
+            genome_pos += seq_len
+            continue
+
+        seq_str = record.seq_str().upper()
+        dist0s, streams = [], []
+        for ind in range(m):
+            d0, stream, dists = engines[ind].record_stream(
+                record.codes, thr_vec[ind], collect_dists=do_return_dists
+            )
+            dist0s.append(d0)
+            streams.append(stream)
+            if dists is not None:
+                dist_parts[ind].append(dists[1 : imax + 1])
+
+        prev_range = (0, 0)  # 1-based inclusive; (0,0) matches Julia's 0:0
+
+        def process(ev: OmnHitEvent) -> bool:
+            nonlocal prev_range
+            cmi = ev.cmi
+            if prev_range[0] <= cmi <= prev_range[1]:
+                return False
+            ws_i = windowsizes[ev.cluster]
+            lo = max(cmi - buff, 1)
+            hi = min(cmi + ws_i - 1 + buff, seq_len)
+            rng = (lo, hi)
+            if do_align:
+                # NOTE: aligns against the stored cluster consensus - already
+                # truncated to ws for real clusters, full-length for the
+                # appended average cluster (OmnGenomeMiner.jl:131 uses
+                # consensus_seqs[ind] as-is).
+                aln = semiglobal_align(
+                    profiles[ev.cluster].consensus, seq_str[lo - 1 : hi], gap_open, gap_extend
+                )
+                if do_return_align:
+                    # the reference collects the alignment BEFORE the second
+                    # overlap check (OmnGenomeMiner.jl:132)
+                    res.alignments.append(aln)
+                alo, ahi = cigar_to_unitrange(aln)
+                rng = (max(1, lo + alo - 1), min(lo + ahi - 1, seq_len))
+            if not (rng[1] < prev_range[0] or rng[0] > prev_range[1]):
+                return False
+
+            desc = (
+                f"{record.identifier} | Dist = {fmt_dist(ev.dist)}"
+                f" | KFV = {ev.cluster + 1}"
+                f" | MatchPos = {rng[0]}:{rng[1]}"
+                f" | GenomePos = {genome_pos}"
+                f" | Len = {rng[1] - rng[0] + 1}"
+            )
+            res.hits.append(FastaRecord(desc, seq_str[rng[0] - 1 : rng[1]].encode()))
+            if get_hit_loci:
+                res.hit_loci.append(rng[0] + genome_pos)
+            prev_range = rng
+            return True
+
+        replay_omn(streams, dist0s, thr_vec, k, windowsizes, seq_len, process)
+        genome_pos += seq_len
+
+    if do_return_dists:
+        res.dists = [
+            np.concatenate(parts) if parts else np.empty(0) for parts in dist_parts
+        ]
+    return res

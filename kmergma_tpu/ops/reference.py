@@ -51,6 +51,8 @@ def gen_ref_ws_cons(source: PathOrRecords, k: int, get_maxlen: bool = False):
     Returns ``(RefProfile, maxlen?)`` - the RefProfile's fields unpack to the
     reference's ``(RV, windowsize, consensus)`` triple.
     """
+    if not 1 <= k <= 14:
+        raise ValueError(f"k = {k} is out of range (need 1 <= k <= 14; 4^k spectrum bins)")
     records = as_records(source)
     if not records:
         raise ValueError("reference set is empty")

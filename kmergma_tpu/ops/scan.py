@@ -1,0 +1,272 @@
+"""The rolling k-mer-spectrum distance scan - the framework's hot path.
+
+TPU-first redesign of the reference's sequential O(1)/bp rolling update
+(ref /root/reference/src/GenomeMiner.jl:60-77).  The reference carries a
+mutable 4^k count vector and a Float64 distance accumulator along the
+sequence - an inherently sequential recurrence.  We reformulate it as a
+fully parallel computation in **exact scaled integers**:
+
+Let R be the number of reference records and S = R * refVec the *integer*
+summed reference spectrum.  Define the scaled distance of window p as
+
+    D[p] = || R * c_p - S ||^2          (c_p = integer window spectrum)
+
+so that the reference's kmerDist = D[p] / (2k * R^2) exactly (the mean
+profile refVec = S / R).  The transition p -> p+1 removes k-mer l = K[p]
+and adds r = K[p+W] (W = ws - k + 1), giving
+
+    D[p+1] - D[p] = 2R^2*[l != r] + 2R^2*(c_p[r] - c_p[l]) + 2R*(S[l] - S[r])
+
+which is the exact scaled-integer form of the reference's
+``+= SF*(1 + c[r] + ref[l] - ref[r] - c[l])`` update (GenomeMiner.jl:70-77).
+The window-count terms are de-sequentialised by the identities
+
+    c_p[r] = #{ d in 1..W   : K[p+W-d] == K[p+W] }     (match-into-window)
+    c_p[l] = #{ d in 0..W-1 : K[p+d]   == K[p]   }     (match-out-of-window)
+
+- pure elementwise shifted comparisons (O(W)/bp of VPU int ops, no gather or
+scatter in the hot loop), followed by ONE cumulative sum.  Integer math makes
+every window distance an exact rational, sidestepping the reference's float64
+accumulation drift entirely (SURVEY.md section 7, hard part 2).
+
+All shapes are static; the d-loop is a ``lax.fori_loop`` over dynamic slices,
+so XLA compiles a single fused elementwise pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rolling_kmer_codes_jnp(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Device version of ops.kmers.rolling_kmer_codes: K[i] = code of k-mer at i."""
+    n = codes.shape[0]
+    m = n - k + 1
+    out = jnp.zeros(m, dtype=jnp.int32)
+    for t in range(k):
+        out = out + (codes[t : t + m].astype(jnp.int32) << (2 * (k - 1 - t)))
+    return out
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r"))
+def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws: int, r: int) -> jnp.ndarray:
+    """Exact scaled window distances D[s] for every window start s in [0, n-ws].
+
+    Args:
+      codes: int8/int32[n] 2-bit codes of one contig (or tile incl. halo).
+      s_profile: int32[4^k] integer summed reference spectrum S = R * refVec.
+      k, ws, r: k-mer length, window size, profile denominator R.
+
+    Returns int32[n-ws+1]; true distance = D / (2k R^2).
+    """
+    n = codes.shape[0]
+    w = ws - k + 1  # k-mers per window
+    nw = n - ws + 1  # number of windows
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    g = jnp.take(s_profile, kcodes)  # S[K[i]]
+
+    # First-window scaled distance, computed directly.
+    c0 = jax.ops.segment_sum(
+        jnp.ones(w, dtype=jnp.int32), kcodes[:w], num_segments=s_profile.shape[0]
+    )
+    diff0 = r * c0 - s_profile  # |entries| <= max(R*W, max(S)) < 2^15.5, squares fit int32
+    d0 = jnp.sum(diff0 * diff0)
+
+    if nw <= 1:
+        return d0[None]
+
+    kl = kcodes[: nw - 1]  # leaving k-mer of each transition
+    kr = kcodes[w : w + nw - 1]  # entering k-mer
+
+    def body(d, ab):
+        a, b = ab
+        # c_p[r]: compare entering k-mer with window k-mer at depth d (d = 1..W)
+        a = a + (jax.lax.dynamic_slice(kcodes, (w - d,), (nw - 1,)) == kr)
+        # c_p[l]: compare leaving k-mer with window k-mer at offset d-1 (0..W-1)
+        b = b + (jax.lax.dynamic_slice(kcodes, (d - 1,), (nw - 1,)) == kl)
+        return a, b
+
+    zero = jnp.zeros(nw - 1, dtype=jnp.int32)
+    a, b = jax.lax.fori_loop(1, w + 1, body, (zero, zero))
+
+    r2 = jnp.int32(2 * r * r)
+    delta = r2 * (kl != kr) + r2 * (a - b) + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
+    return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
+
+
+def scaled_threshold(thr: float, k: int, r: int) -> float:
+    """Map a user-space distance threshold into the scaled-integer domain."""
+    return float(thr) * (2 * k * r * r)
+
+
+def distances_from_scaled(d: np.ndarray, k: int, r: int) -> np.ndarray:
+    """Exact float64 distances from scaled-integer D (host side)."""
+    return np.asarray(d, dtype=np.float64) / (2 * k * r * r)
+
+
+def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
+    """Guard the exact-integer path against int32 overflow.
+
+    Worst-case D = R^2 W^2 + 2 R W max(S) + ||S||^2 (window concentrated on
+    one k-mer disjoint from the profile hotspots).  Realistic reference sets
+    (R ~ 10^2) sit far below int32; huge R would need the float64 CPU path.
+    """
+    w = ws - k + 1
+    s_max = int(np.max(s_profile)) if s_profile.size else 0
+    bound = r * r * w * w + 2 * r * w * s_max + int(np.dot(s_profile, s_profile))
+    if bound >= 2**31:
+        raise OverflowError(
+            f"scaled-integer scan would overflow int32 (bound {bound:.3g}); "
+            "reduce the reference set size or window, or use the float64 host path"
+        )
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "cap"))
+def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap):
+    """One tile of the scan with on-device candidate compaction.
+
+    Returns (d_first, count, idx, vals, last_below): the tile's first-window
+    scaled distance, the number of candidate windows (below threshold or
+    immediately after one - the exact support of the host state-machine
+    replay), their local indices/values (first ``cap`` of them), and whether
+    the tile's last valid window is below threshold (seeds the next tile's
+    rising-edge detection).
+    """
+    d = scan_window_distances(codes, s_profile, k, ws, r)
+    t = d.shape[0]
+    valid = jnp.arange(t) < n_valid
+    below = (d < thr_int) & valid
+    prevb = jnp.concatenate([prev_below[None], below[:-1]])
+    mask = (below | prevb) & valid
+    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    vals = d[idx]
+    count = mask.sum()
+    last_below = jnp.take(below, n_valid - 1)
+    return d[0], count, idx.astype(jnp.int32), vals, last_below
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r"))
+def _scan_chunk_full(codes, s_profile, k, ws, r):
+    return scan_window_distances(codes, s_profile, k, ws, r)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Round up to a power of two (bounded) so jit recompiles stay few."""
+    b = 1024
+    while b < n and b < cap:
+        b <<= 1
+    return min(b, cap)
+
+
+class ScanEngine:
+    """Host-side driver of the tiled device scan for one reference profile.
+
+    Tiles a record's windows into fixed-shape chunks (with ws-1 bp halo,
+    SURVEY.md section 5.7 overlapped tiling); each tile's first-window
+    spectrum is recomputed on device, making tiles independent.  Emits the
+    sparse candidate stream for the exact host replay.
+    """
+
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 16):
+        check_int32_headroom(s_profile, ws, k, r)
+        self.s_dev = jnp.asarray(s_profile.astype(np.int32))
+        self.k, self.ws, self.r = k, ws, r
+        self.chunk = chunk_windows
+        self.cap = cap
+        self.scale = 2.0 * k * r * r
+
+    def _thr_int(self, thr: float) -> np.int32:
+        # Conservative device-side threshold: superset of the exact host
+        # comparison (extra candidates are no-ops in the replay).
+        return np.int32(min(np.floor(thr * self.scale) + 2, 2**31 - 1))
+
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False):
+        """Scan one record; return (dist0, stream, dists_or_None).
+
+        ``dist0`` is the init-window distance, ``stream`` a sorted list of
+        (window index >= 1, exact float64 distance) covering every window
+        that can influence the minima state machine at threshold ``thr``.
+        """
+        n = codes.shape[0]
+        nw = n - self.ws + 1
+        assert nw >= 1
+        thr_int = self._thr_int(thr)
+        stream: list[tuple[int, float]] = []
+        dist0 = None
+        full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
+
+        prev_below = np.bool_(False)
+        start = 0
+        while start < nw:
+            t = min(self.chunk, nw - start)
+            bucket = _bucket(t, self.chunk)
+            lo = start
+            hi = start + bucket + self.ws - 1
+            chunk_codes = codes[lo : min(hi, n)]
+            if chunk_codes.shape[0] < bucket + self.ws - 1:
+                chunk_codes = np.pad(chunk_codes, (0, bucket + self.ws - 1 - chunk_codes.shape[0]))
+            chunk_dev = jnp.asarray(chunk_codes)
+
+            if collect_dists:
+                d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r))[:t]
+                full_dists[start : start + t] = d / self.scale
+                self._stream_from_full(d, start, bool(prev_below), thr_int, stream)
+                prev_below = d[t - 1] < thr_int
+                if start == 0:
+                    dist0 = float(d[0]) / self.scale
+            else:
+                d0, count, idx, vals, last_below = _scan_chunk_compact(
+                    chunk_dev, self.s_dev, jnp.asarray(prev_below), np.int32(t), thr_int,
+                    self.k, self.ws, self.r, self.cap,
+                )
+                count = int(count)
+                if count > self.cap:
+                    d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r))[:t]
+                    self._stream_from_full(d, start, bool(prev_below), thr_int, stream)
+                else:
+                    idx = np.asarray(idx[:count])
+                    vals = np.asarray(vals[:count])
+                    for j, v in zip(idx, vals):
+                        gj = start + int(j)
+                        if gj >= 1:
+                            stream.append((gj, float(v) / self.scale))
+                prev_below = np.asarray(last_below)
+                if start == 0:
+                    dist0 = float(d0) / self.scale
+            start += t
+
+        return dist0, stream, full_dists
+
+    def _stream_from_full(self, d: np.ndarray, offset: int, prev_below: bool, thr_int: int, stream: list) -> None:
+        below = d < thr_int
+        mask = below.copy()
+        mask[1:] |= below[:-1]
+        mask[0] |= prev_below
+        for j in np.nonzero(mask)[0]:
+            gj = offset + int(j)
+            if gj >= 1:
+                stream.append((gj, float(d[j]) / self.scale))
+
+
+def scan_window_distances_np(codes: np.ndarray, s_profile: np.ndarray, k: int, ws: int, r: int) -> np.ndarray:
+    """Brute-force NumPy oracle: direct per-window spectra (test/validation only)."""
+    from .kmers import rolling_kmer_codes
+
+    n = codes.shape[0]
+    kcodes = rolling_kmer_codes(codes, k)
+    w = ws - k + 1
+    nw = n - ws + 1
+    s64 = s_profile.astype(np.int64)
+    out = np.empty(nw, dtype=np.int64)
+    counts = np.bincount(kcodes[:w], minlength=s_profile.shape[0]).astype(np.int64)
+    for p in range(nw):
+        if p > 0:
+            counts[kcodes[p - 1]] -= 1
+            counts[kcodes[p - 1 + w]] += 1
+        diff = r * counts - s64
+        out[p] = np.dot(diff, diff)
+    return out

@@ -7,10 +7,15 @@ before JAX initialises.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize registers the axon TPU backend and pins
+# JAX_PLATFORMS=axon; override via jax.config (env vars alone lose).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 

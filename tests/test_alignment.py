@@ -1,0 +1,50 @@
+"""Alignment-layer tests (reference test-KmerGMA.jl:128-162)."""
+
+from kmergma_tpu.ops.align import (
+    align_unitrange,
+    cigar_to_unitrange,
+    semiglobal_align,
+)
+from kmergma_tpu.utils.fasta import read_fasta
+
+from .conftest import TEST_CONSENSUS_SEQ, TEST_SEQ
+
+HUMAN_RSSV = "CACAGTG" + "N" * 12 + "ACAAAAACC"
+
+
+def test_cigar_to_unitrange():
+    # reference test-KmerGMA.jl:130-136
+    r = semiglobal_align("ATGCATGC", "GGGGGATGCATGCAAAAA", -5, -1)
+    assert cigar_to_unitrange(r) == (6, 13)
+    r = semiglobal_align("ATGCATGC", "GGGGGATGCTTATGCAAAAA", -5, -1)
+    assert cigar_to_unitrange(r) == (6, 15)
+
+
+def test_align_unitrange_golden(eight_seqs):
+    # reference test-KmerGMA.jl:139-145
+    rec = next(read_fasta(eight_seqs))
+    assert align_unitrange(
+        rec.seq_str(), 450, 900, TEST_CONSENSUS_SEQ, 289, 1000
+    ) == (501, 789)
+
+
+def test_rss_cigar():
+    # reference test-KmerGMA.jl:155-156: semiglobal of the RSS motif into
+    # its flanked context gives cigar 8D28=8D
+    b = (TEST_SEQ + HUMAN_RSSV + TEST_SEQ)[:44]
+    r = semiglobal_align(HUMAN_RSSV, b, -69, -1)
+    assert r.cigar == "8D28=8D"
+
+
+def test_single_run_cigar_gives_empty_range():
+    # the reference's parser drops the final run; a 1-run cigar yields an
+    # empty range (lower+1, num_sum) = (1, 0)
+    r = semiglobal_align("ACGT", "ACGT", -5, -1)
+    assert r.cigar == "4="
+    assert cigar_to_unitrange(r) == (1, 0)
+
+
+def test_affine_gap_scoring():
+    # one gap of length 2: go + 2*ge
+    r = semiglobal_align("AACC", "AATTCC", -5, -1)
+    assert r.score == 4 * 5 + (-5 - 2)

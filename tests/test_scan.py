@@ -1,0 +1,67 @@
+"""Scan-op correctness: the parallel exact-integer formulation must equal the
+brute-force per-window spectrum distance (the reference's definition,
+GenomeMiner.jl:46-47) on random data, and the candidate-stream machinery
+must be exact across tile boundaries."""
+
+import numpy as np
+import pytest
+
+from kmergma_tpu.models.state_machine import candidate_stream_from_dists, replay_single
+from kmergma_tpu.ops.scan import (
+    ScanEngine,
+    check_int32_headroom,
+    scan_window_distances,
+    scan_window_distances_np,
+)
+
+
+@pytest.mark.parametrize("n,k,ws,r", [(600, 6, 289, 84), (400, 4, 97, 7), (2000, 6, 289, 84)])
+def test_scan_matches_bruteforce(n, k, ws, r):
+    rng = np.random.default_rng(n)
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    s = rng.integers(0, 40, 4**k).astype(np.int32)
+    expected = scan_window_distances_np(codes, s, k, ws, r)
+    import jax.numpy as jnp
+
+    got = np.asarray(scan_window_distances(jnp.asarray(codes), jnp.asarray(s), k, ws, r))
+    assert got.tolist() == expected.tolist()
+
+
+def test_engine_stream_matches_full_replay():
+    rng = np.random.default_rng(7)
+    n, k, ws, r = 5000, 6, 289, 12
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    s = rng.integers(0, 10, 4**k).astype(np.int32)
+
+    d_full = scan_window_distances_np(codes, s, k, ws, r) / (2.0 * k * r * r)
+    thr = float(np.percentile(d_full, 5))  # force several sub-threshold runs
+
+    engine = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1024)  # multiple tiles
+    dist0, stream, _ = engine.record_stream(codes, thr)
+    assert dist0 == d_full[0]
+
+    hits_stream = replay_single(stream, dist0, thr, k, ws, n, buff=10)
+    hits_full = replay_single(
+        candidate_stream_from_dists(d_full, thr), d_full[0], thr, k, ws, n, buff=10
+    )
+    assert [(h.cmi, h.dist, h.start, h.stop) for h in hits_stream] == [
+        (h.cmi, h.dist, h.start, h.stop) for h in hits_full
+    ]
+    assert len(hits_stream) > 0
+
+
+def test_engine_collect_dists_exact():
+    rng = np.random.default_rng(3)
+    n, k, ws, r = 3000, 6, 289, 5
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    s = rng.integers(0, 6, 4**k).astype(np.int32)
+    engine = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1024)
+    _, _, dists = engine.record_stream(codes, thr=10.0, collect_dists=True)
+    expected = scan_window_distances_np(codes, s, k, ws, r) / (2.0 * k * r * r)
+    assert dists.tolist() == expected.tolist()
+
+
+def test_headroom_guard():
+    s = np.full(4096, 10**5, dtype=np.int64)
+    with pytest.raises(OverflowError):
+        check_int32_headroom(s, ws=289, k=6, r=10**4)
