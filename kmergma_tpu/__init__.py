@@ -33,4 +33,20 @@ def __getattr__(name):
         from .ops import exact_match as _em
 
         return getattr(_em, name)
+    if name in ("kmer_pair_count", "as_index", "initialize_kmers"):
+        from .ops import paired_kmers as _pk
+
+        return getattr(_pk, name)
+    if name in ("get_strobe_2_mer", "randstrobe_score", "ungapped_strobe_2_mer_count"):
+        from .ops import strobemers as _st
+
+        return getattr(_st, name)
+    if name in ("HUMAN_RSSV", "HUMAN_RSSD", "align_rss", "rss_dist", "is_rss"):
+        from .ops import rss as _rss
+
+        return getattr(_rss, name)
+    if name == "fasta_id_to_cumulative_len_dict":
+        from .utils.fasta import fasta_id_to_cumulative_len_dict
+
+        return fasta_id_to_cumulative_len_dict
     raise AttributeError(name)

@@ -176,6 +176,53 @@ def find_genes_cluster_mode(
     return out
 
 
+def strobemer_find_genes(
+    genome_path: str,
+    ref_path: str,
+    s: int = 2,
+    w_min: int = 3,
+    w_max: int = 5,
+    q: int = 5,
+    kmer_dist_thr: float = 30,
+    buffer: int = 50,
+    do_align: bool = True,
+    align_score_thr: int = 0,
+    do_return_dists: bool = False,
+    do_return_hit_loci: bool = False,
+    do_return_align: bool = False,
+    verbose: bool = True,
+) -> list:
+    """Experimental randstrobe-based search
+    (ref StrobemerGMA/StrobeGenomeMiner.jl:119-158).  No threshold
+    auto-estimation, mirroring the reference."""
+    from .models.strobe_miner import gen_strobe_ref_ws_cons, strobe_mine_genome
+
+    profile = gen_strobe_ref_ws_cons(ref_path, s=s, w_min=w_min, w_max=w_max, q=q)
+    if verbose:
+        logger.info("initializing iteration...")
+    res = strobe_mine_genome(
+        genome_path,
+        profile,
+        thr=kmer_dist_thr,
+        buff=buffer,
+        do_align=do_align,
+        score_threshold=align_score_thr,
+        do_return_dists=do_return_dists,
+        do_return_align=do_return_align,
+        get_hit_loci=do_return_hit_loci,
+    )
+    out: list = [res.hits]
+    if do_return_hit_loci:
+        out.append(res.hit_loci)
+    if do_return_align:
+        out.append(res.alignments)
+    if do_return_dists:
+        out.append(res.dists)
+    if verbose:
+        logger.info("genome mining completed successfully")
+    return out
+
+
 def write_results(hits: Iterable[FastaRecord], file_path: str, width: int = 95) -> None:
     """Append hit records to a fasta file (ref API.jl:234-241)."""
     write_fasta(hits, file_path, width=width, append=True)

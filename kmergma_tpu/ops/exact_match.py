@@ -1,0 +1,146 @@
+"""Exact-occurrence search (ref /root/reference/src/ExactMatch.jl).
+
+Two engines behind one API:
+  * a device scan (``match_starts_jnp``): shifted byte-equality reductions
+    over the subject - O(|query|)/bp of pure VPU ops, the TPU-native
+    replacement for BioSequences' Boyer-Moore search (SURVEY.md section 7
+    item 8), used for large subjects;
+  * a host fallback on ``bytes.find`` for small inputs (no device round-trip).
+
+Matching is on raw uppercased sequence bytes, so N only matches N -
+identical to ``ExactSearchQuery(isequal)`` symbol equality (unlike the
+2-bit scan path where N folds into T).
+
+Overlap semantics (ref ExactMatch.jl:20-43): overlap=True restarts the
+search one past each match START (yielding every occurrence); overlap=False
+restarts one past each match END (greedy non-overlapping).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Union
+
+import numpy as np
+
+from ..utils.fasta import FastaRecord, PathOrRecords, as_records, read_fasta
+
+Query = Union[str, bytes, FastaRecord]
+
+_DEVICE_MIN = 1 << 20  # below this, bytes.find beats a device round-trip
+
+
+def _as_bytes(x: Query) -> bytes:
+    if isinstance(x, FastaRecord):
+        return x.seq.upper()
+    if isinstance(x, str):
+        return x.upper().encode("ascii")
+    return bytes(x).upper()
+
+
+def match_starts_np(subject: bytes, query: bytes) -> np.ndarray:
+    """All 0-based match start positions (host path, bytes.find)."""
+    out = []
+    start = subject.find(query)
+    while start != -1:
+        out.append(start)
+        start = subject.find(query, start + 1)
+    return np.asarray(out, dtype=np.int64)
+
+
+@partial(__import__("jax").jit, static_argnames=("qlen",))
+def _match_mask_jnp(subject, query, qlen: int):
+    import jax
+    import jax.numpy as jnp
+
+    n = subject.shape[0]
+    m = n - qlen + 1
+
+    def body(t, acc):
+        return acc & (jax.lax.dynamic_slice(subject, (t,), (m,)) == query[t])
+
+    return jax.lax.fori_loop(0, qlen, body, jnp.ones(m, dtype=bool))
+
+
+def match_starts_jnp(subject: bytes, query: bytes) -> np.ndarray:
+    """Device scan: conjunction of shifted equality comparisons."""
+    import jax.numpy as jnp
+
+    sub = jnp.asarray(np.frombuffer(subject, dtype=np.uint8))
+    q = jnp.asarray(np.frombuffer(query, dtype=np.uint8))
+    mask = np.asarray(_match_mask_jnp(sub, q, len(query)))
+    return np.nonzero(mask)[0].astype(np.int64)
+
+
+def _ranges(starts: np.ndarray, qlen: int, overlap: bool) -> list[tuple[int, int]]:
+    """1-based inclusive ranges with the reference's restart semantics."""
+    out: list[tuple[int, int]] = []
+    next_allowed = 0
+    for s in starts:
+        s = int(s)
+        if overlap or s >= next_allowed:
+            out.append((s + 1, s + qlen))
+            next_allowed = s + qlen
+    return out
+
+
+def exact_match(
+    query: Query,
+    subject: "Query | PathOrRecords",
+    overlap: bool = True,
+    use_device: bool | None = None,
+):
+    """All exact occurrences of ``query`` in ``subject``.
+
+    Sequence/record subject -> list of 1-based (start, stop) tuples, or
+    ``None`` if no match.  Path / record-collection subject -> dict mapping
+    record identifier to its range list, or the string "no match"
+    (ref ExactMatch.jl:89-121).
+    """
+    q = _as_bytes(query)
+    if not q:
+        raise ValueError("empty query sequence")
+
+    if isinstance(subject, (str, bytes)) and not _looks_like_path(subject):
+        return _match_one(q, _as_bytes(subject), overlap, use_device)
+    if isinstance(subject, FastaRecord):
+        return _match_one(q, _as_bytes(subject), overlap, use_device)
+
+    # path or iterable of records
+    records = list(read_fasta(subject)) if _looks_like_path(subject) else as_records(subject)
+    found: dict[str, list[tuple[int, int]]] = {}
+    for rec in records:
+        rng = _match_one(q, _as_bytes(rec), overlap, use_device)
+        if rng is not None:
+            found[rec.identifier] = rng
+    return found if found else "no match"
+
+
+def _looks_like_path(x) -> bool:
+    import os
+
+    return isinstance(x, (str, bytes)) and os.path.exists(x)
+
+
+def _match_one(q: bytes, sub: bytes, overlap: bool, use_device: bool | None):
+    if len(sub) < len(q):
+        return None
+    if use_device is None:
+        use_device = len(sub) >= _DEVICE_MIN
+    starts = match_starts_jnp(sub, q) if use_device else match_starts_np(sub, q)
+    if starts.size == 0:
+        return None
+    return _ranges(starts, len(q), overlap)
+
+
+def first_match(source: PathOrRecords, query: Query) -> list[tuple[str, tuple[int, int]]]:
+    """First occurrence per record (ref ExactMatch.jl:8-16; returns instead
+    of printing)."""
+    q = _as_bytes(query)
+    out = []
+    for rec in as_records(source):
+        sub = _as_bytes(rec)
+        pos = sub.find(q)
+        if pos != -1:
+            out.append((rec.identifier, (pos + 1, pos + len(q))))
+    return out

@@ -199,45 +199,71 @@ class ScanEngine:
         dist0 = None
         full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
 
-        prev_below = np.bool_(False)
+        # Chunk boundaries (host side; chunks are independent on device).
+        spans = []
         start = 0
         while start < nw:
             t = min(self.chunk, nw - start)
+            spans.append((start, t))
+            start += t
+
+        def launch(start: int, t: int, prev_below):
             bucket = _bucket(t, self.chunk)
-            lo = start
-            hi = start + bucket + self.ws - 1
-            chunk_codes = codes[lo : min(hi, n)]
+            chunk_codes = codes[start : min(start + bucket + self.ws - 1, n)]
             if chunk_codes.shape[0] < bucket + self.ws - 1:
                 chunk_codes = np.pad(chunk_codes, (0, bucket + self.ws - 1 - chunk_codes.shape[0]))
             chunk_dev = jnp.asarray(chunk_codes)
-
             if collect_dists:
-                d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r))[:t]
+                return chunk_dev, _scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r)
+            return chunk_dev, _scan_chunk_compact(
+                chunk_dev, self.s_dev, prev_below, np.int32(t), thr_int,
+                self.k, self.ws, self.r, self.cap,
+            )
+
+        # Pipelined dispatch: each chunk's `prev_below` is the previous
+        # chunk's device-side last-window flag, so launches chain WITHOUT a
+        # host sync - JAX's async dispatch keeps the device busy while the
+        # host consumes results a few chunks behind.
+        inflight: list = []
+        prev_below_dev = jnp.asarray(False)
+        host_prev_below = False  # replicated on host for full-transfer chunks
+        max_inflight = 8
+
+        def consume(item):
+            nonlocal dist0, host_prev_below
+            start, t, chunk_dev, out = item
+            if collect_dists:
+                d = np.asarray(out)[:t]
                 full_dists[start : start + t] = d / self.scale
-                self._stream_from_full(d, start, bool(prev_below), thr_int, stream)
-                prev_below = d[t - 1] < thr_int
-                if start == 0:
-                    dist0 = float(d[0]) / self.scale
+                self._stream_from_full(d, start, host_prev_below, thr_int, stream)
+                host_prev_below = bool(d[t - 1] < thr_int)
             else:
-                d0, count, idx, vals, last_below = _scan_chunk_compact(
-                    chunk_dev, self.s_dev, jnp.asarray(prev_below), np.int32(t), thr_int,
-                    self.k, self.ws, self.r, self.cap,
-                )
+                d0, count, idx, vals, last_below = out
                 count = int(count)
                 if count > self.cap:
                     d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r))[:t]
-                    self._stream_from_full(d, start, bool(prev_below), thr_int, stream)
+                    self._stream_from_full(d, start, host_prev_below, thr_int, stream)
+                    host_prev_below = bool(d[t - 1] < thr_int)
                 else:
-                    idx = np.asarray(idx[:count])
-                    vals = np.asarray(vals[:count])
-                    for j, v in zip(idx, vals):
+                    for j, v in zip(np.asarray(idx[:count]), np.asarray(vals[:count])):
                         gj = start + int(j)
                         if gj >= 1:
                             stream.append((gj, float(v) / self.scale))
-                prev_below = np.asarray(last_below)
+                    host_prev_below = bool(last_below)
                 if start == 0:
                     dist0 = float(d0) / self.scale
-            start += t
+            if collect_dists and start == 0:
+                dist0 = float(full_dists[0])
+
+        for start, t in spans:
+            chunk_dev, out = launch(start, t, prev_below_dev)
+            if not collect_dists:
+                prev_below_dev = out[4]
+            inflight.append((start, t, chunk_dev, out))
+            if len(inflight) >= max_inflight:
+                consume(inflight.pop(0))
+        while inflight:
+            consume(inflight.pop(0))
 
         return dist0, stream, full_dists
 

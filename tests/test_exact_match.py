@@ -1,0 +1,68 @@
+"""ExactMatch conformance tests (reference test-KmerGMA.jl:298-344)."""
+
+import pytest
+
+from kmergma_tpu.ops.exact_match import exact_match, first_match, match_starts_jnp
+from kmergma_tpu.utils.fasta import fasta_id_to_cumulative_len_dict, read_fasta
+
+
+class TestSingleSeq:
+    def test_basic(self):
+        assert exact_match("GAG", "CCCCCCCGAGCTTTT") == [(8, 10)]
+        assert exact_match("GAG", "CGAGCCCGAGCTTTT") == [(2, 4), (8, 10)]
+
+    def test_overlap(self):
+        assert exact_match("GAG", "CGAGAGAGAAGGCCGAGCTTTT") == [(2, 4), (4, 6), (6, 8), (15, 17)]
+        assert exact_match("GAG", "CGAGAGAGAAGGCCGAGCTTTT", overlap=False) == [(2, 4), (6, 8), (15, 17)]
+
+    def test_no_match(self):
+        assert exact_match("GAG", "CCCCCCTTT") is None
+
+
+class TestReader:
+    def test_subseq_of_first_record(self, ref_fasta):
+        rec = next(read_fasta(ref_fasta))
+        subseq = rec.seq_str()[41:69]  # 1-based 42:69
+        assert exact_match(subseq, ref_fasta) == {"AM773729|IGHV1-1*01|Vicugna": [(42, 69)]}
+
+    def test_record_as_query(self, ref_fasta):
+        rec = next(read_fasta(ref_fasta))
+        assert exact_match(rec, ref_fasta) == {"AM773729|IGHV1-1*01|Vicugna": [(1, 296)]}
+
+    def test_no_match_string(self, ref_fasta):
+        assert exact_match("AAAAAAAAA", ref_fasta) == "no match"
+
+    def test_multi_record(self, ref_fasta):
+        assert exact_match("AAATT", ref_fasta) == {
+            "AM773729|IGHV1-1*01|Vicugna": [(174, 178)],
+            "AM939700|IGHV1S5*01|Vicugna": [(174, 178)],
+        }
+
+
+def test_device_scan_matches_host():
+    sub = b"CGAGAGAGAAGGCCGAGCTTTT" * 50
+    starts = match_starts_jnp(sub, b"GAG")
+    from kmergma_tpu.ops.exact_match import match_starts_np
+
+    assert starts.tolist() == match_starts_np(sub, b"GAG").tolist()
+
+
+def test_first_match(ref_fasta):
+    out = first_match(ref_fasta, "AAATT")
+    assert ("AM773729|IGHV1-1*01|Vicugna", (174, 178)) in out
+
+
+def test_empty_query_rejected():
+    with pytest.raises(ValueError):
+        exact_match("", "ACGT")
+
+
+def test_cumulative_len_dict(test_genome):
+    # reference test-KmerGMA.jl:336-344 (keys are full descriptions)
+    d = fasta_id_to_cumulative_len_dict(test_genome)
+    assert d == {
+        "JQ684648.1 Lama glama clone V03 IgH locus genomic sequence": 0,
+        "JQ684647.1 Lama glama clone F07 IgH locus genomic sequence": 121478,
+        "AM773548.1 Lama pacos germline IgHV region, Vh3-S1, Vh2-S1 and vhh3-S1 genes": 444023,
+        "AM773729.1 Lama pacos germline IgH locus: proximal IgHV region genes, complete IgHD region genes, complete IgHJ region genes and complete IgHC region genes": 221227,
+    }
