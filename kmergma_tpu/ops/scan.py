@@ -90,7 +90,9 @@ def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws
         b = b + (jax.lax.dynamic_slice(kcodes, (d - 1,), (nw - 1,)) == kl)
         return a, b
 
-    zero = jnp.zeros(nw - 1, dtype=jnp.int32)
+    # derive the zero carry from kl so its sharding/varying type matches the
+    # body output under shard_map (see shard-map scan-vma docs)
+    zero = jnp.zeros_like(kl)
     a, b = jax.lax.fori_loop(1, w + 1, body, (zero, zero))
 
     r2 = jnp.int32(2 * r * r)
