@@ -1,0 +1,123 @@
+"""Pallas TPU kernel for the scan's hot loop.
+
+The XLA formulation (ops/scan.py) re-reads the K array from HBM on every
+iteration of the depth loop.  This kernel keeps each tile of k-mer codes
+resident in VMEM and runs the whole depth-W match-count accumulation
+
+    AB[p] = c_p[entering] - c_p[leaving]
+          = sum_d eq(K[p+W-d], K[p+W]) - sum_d eq(K[p+d], K[p])
+
+on-chip: HBM traffic drops to one read of K and one write of AB per
+position, and the VPU's (8, 128) lanes are fully used by processing 8
+independent tiles per grid step (one per sublane row).  The depth loop is
+unrolled with static lane slices - pure vector compare+add, no gathers, no
+scatters, no MXU.
+
+The kernel computes the de-sequentialised window-count terms of the
+reference's rolling update (ref /root/reference/src/GenomeMiner.jl:69-77);
+everything around it (K/g precompute, delta assembly, per-tile init
+distances, cumulative sum) stays in XLA, which fuses those elementwise
+passes well.  Contract and results are bit-identical to
+ops.scan.scan_window_distances (cross-checked in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan import rolling_kmer_codes_jnp
+
+ROWS = 8  # tiles per grid step = sublane count for int32
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
+    """One grid step: ROWS tiles. k_ref: (ROWS, t + w), ab_ref: (ROWS, t)."""
+    kl = k_ref[:, :t]  # leaving k-mer of each transition
+    kr = k_ref[:, w : w + t]  # entering k-mer
+    a = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    b = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    for d in range(1, w + 1):  # static unroll: every slice is lane-static
+        a += (k_ref[:, w - d : w - d + t] == kr).astype(jnp.int32)
+        b += (k_ref[:, d - 1 : d - 1 + t] == kl).astype(jnp.int32)
+    ab_ref[:, :] = a - b
+
+
+@partial(jax.jit, static_argnames=("w", "t", "interpret"))
+def match_counts(tiles_k: jnp.ndarray, w: int, t: int, interpret: bool | None = None):
+    """AB = (entering-count - leaving-count) per transition, per tile.
+
+    tiles_k: (n_tiles, t + w) int32 k-mer codes (n_tiles a multiple of ROWS).
+    Returns (n_tiles, t) int32.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_tiles = tiles_k.shape[0]
+    grid = (n_tiles // ROWS,)
+    return pl.pallas_call(
+        partial(_match_counts_kernel, w=w, t=t),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, t + w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles_k)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "tile_windows", "interpret"))
+def scan_window_distances_pallas(
+    codes: jnp.ndarray,
+    s_profile: jnp.ndarray,
+    k: int,
+    ws: int,
+    r: int,
+    tile_windows: int = 2048,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.scan.scan_window_distances backed by the
+    Pallas match-count kernel.  Returns int32[n - ws + 1] exact scaled
+    distances (bit-identical to the XLA path)."""
+    n = codes.shape[0]
+    w = ws - k + 1
+    nw = n - ws + 1
+    t = tile_windows
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    g = jnp.take(s_profile, kcodes)
+
+    n_tiles = -(-nw // t)
+    n_tiles_pad = -(-n_tiles // ROWS) * ROWS
+
+    # Overlapped tile matrix of K codes: tile i covers transitions
+    # [i*t, i*t + t) and needs K[i*t .. i*t + t + w - 1].
+    kcodes_pad = jnp.pad(kcodes, (0, n_tiles_pad * t + w - kcodes.shape[0]))
+
+    def take_tile(i):
+        return jax.lax.dynamic_slice(kcodes_pad, (i * t,), (t + w,))
+
+    tiles_k = jax.vmap(take_tile)(jnp.arange(n_tiles_pad))
+
+    ab = match_counts(tiles_k, w, t, interpret=interpret).reshape(-1)
+
+    # Per-tile-independent terms assembled in XLA (fused elementwise).
+    kl = kcodes[: nw - 1]
+    kr = kcodes[w : w + nw - 1]
+    r2 = jnp.int32(2 * r * r)
+    delta = r2 * (kl != kr) + r2 * ab[: nw - 1] + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
+
+    c0 = jax.ops.segment_sum(
+        jnp.ones(w, dtype=jnp.int32), kcodes[:w], num_segments=s_profile.shape[0]
+    )
+    diff0 = r * c0 - s_profile
+    d0 = jnp.sum(diff0 * diff0)
+    return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
