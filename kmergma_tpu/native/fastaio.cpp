@@ -1,0 +1,121 @@
+// Native FASTA ingestion: fused parse + 2-bit encode in one pass.
+//
+// The framework's data-loader hot path (SURVEY.md section 7 phase 0 item 1):
+// for multi-gigabase genomes the Python parser pays one pass to strip
+// newlines and another to LUT-encode; this C++ path does both in a single
+// sweep over the mmap'd file buffer and writes the int8 code tensor
+// (A=0, C=1, G=2, T=3, N=3 - the reference's encoding contract,
+// /root/reference/src/Consts.jl:22-28) directly into a caller-provided
+// buffer ready for device transfer.
+//
+// C ABI (ctypes-bound from kmergma_tpu/utils/native.py):
+//   fasta_stats(buf, n, &n_records, &total_seq_bytes)
+//   fasta_parse(buf, n, codes_out, rec_offsets, rec_lens,
+//               desc_out, desc_cap, desc_lens, max_records)
+// Returns 0 on success, -1 on malformed input, -2 on invalid nucleotide
+// (position reported via rec_offsets[0] in that case).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// -1 = invalid, -2 = whitespace (skip), 0..3 = code
+signed char LUT[256];
+
+struct LutInit {
+    LutInit() {
+        std::memset(LUT, -1, sizeof(LUT));
+        const char* letters = "ACGTN";
+        const signed char codes[] = {0, 1, 2, 3, 3};
+        for (int i = 0; i < 5; ++i) {
+            LUT[(unsigned char)letters[i]] = codes[i];
+            LUT[(unsigned char)(letters[i] + 32)] = codes[i];
+        }
+        LUT[(unsigned char)'\n'] = -2;
+        LUT[(unsigned char)'\r'] = -2;
+        LUT[(unsigned char)' '] = -2;
+        LUT[(unsigned char)'\t'] = -2;
+    }
+} lut_init;
+
+}  // namespace
+
+extern "C" {
+
+// First pass: count records and total sequence bytes (excluding whitespace).
+int fasta_stats(const char* buf, long n, long* n_records, long* total_seq) {
+    long nr = 0, ts = 0;
+    long i = 0;
+    while (i < n) {
+        if (buf[i] == '>') {
+            ++nr;
+            while (i < n && buf[i] != '\n') ++i;  // skip header line
+            ++i;
+        } else {
+            signed char c = LUT[(unsigned char)buf[i]];
+            if (c >= 0) ++ts;
+            ++i;
+        }
+    }
+    *n_records = nr;
+    *total_seq = ts;
+    return nr > 0 ? 0 : -1;
+}
+
+// Second pass: encode all records' sequences contiguously into codes_out;
+// rec_offsets[r] / rec_lens[r] locate record r inside codes_out;
+// headers (without '>') are packed back-to-back into desc_out with
+// per-record lengths in desc_lens.
+int fasta_parse(const char* buf, long n, signed char* codes_out,
+                long* rec_offsets, long* rec_lens, char* desc_out,
+                long desc_cap, long* desc_lens, long max_records) {
+    long r = -1;
+    long w = 0;       // write cursor in codes_out
+    long dw = 0;      // write cursor in desc_out
+    long i = 0;
+    while (i < n) {
+        if (buf[i] == '>') {
+            if (r >= 0) rec_lens[r] = w - rec_offsets[r];
+            ++r;
+            if (r >= max_records) return -1;
+            rec_offsets[r] = w;
+            ++i;
+            long d0 = dw;
+            while (i < n && buf[i] != '\n') {
+                char ch = buf[i];
+                if (ch != '\r') {
+                    if (dw >= desc_cap) return -1;
+                    desc_out[dw++] = ch;
+                }
+                ++i;
+            }
+            desc_lens[r] = dw - d0;
+            ++i;
+        } else {
+            signed char c = LUT[(unsigned char)buf[i]];
+            if (c >= 0) {
+                codes_out[w++] = c;
+            } else if (c == -1) {
+                rec_offsets[0] = i;  // report offending byte position
+                return -2;
+            }
+            ++i;
+        }
+    }
+    if (r >= 0) rec_lens[r] = w - rec_offsets[r];
+    return 0;
+}
+
+// Standalone encoder: ASCII sequence -> int8 codes.  Returns 0, or the
+// negative (1-based) position of the first invalid character.
+long encode_seq(const char* buf, long n, signed char* out) {
+    for (long i = 0; i < n; ++i) {
+        signed char c = LUT[(unsigned char)buf[i]];
+        if (c < 0) return -(i + 1);
+        out[i] = c;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -147,3 +147,27 @@ class ContigSet:
 
 def load_contigs(source: PathOrRecords) -> ContigSet:
     return ContigSet(as_records(source))
+
+
+def read_fasta_native(path: str | os.PathLike) -> "list[FastaRecord] | None":
+    """Fast path: parse + encode with the native C++ loader (utils/native.py).
+
+    Returns records with their code tensors pre-populated (sequence bytes
+    are decoded from codes on demand; N decodes as T, matching the 2-bit
+    contract).  Returns None when the native library is unavailable -
+    callers fall back to ``read_fasta``.
+    """
+    from .native import load_fasta_native
+
+    out = load_fasta_native(str(path))
+    if out is None:
+        return None
+    from ..consts import BITS_NT
+
+    lut = np.frombuffer(BITS_NT.encode(), dtype=np.uint8)
+    codes, offsets, lengths, descs = out
+    records = []
+    for r in range(len(descs)):
+        c = codes[int(offsets[r]) : int(offsets[r]) + int(lengths[r])]
+        records.append(FastaRecord(descs[r], lut[c].tobytes(), _codes=c))
+    return records

@@ -1,0 +1,117 @@
+"""ctypes binding + on-demand build of the native C++ IO library.
+
+Builds ``kmergma_tpu/native/fastaio.cpp`` into a cached shared object with
+g++ on first use (no pip / pybind11 dependency) and exposes a fast
+mmap-based fasta loader.  Falls back silently to the pure-Python parser if
+no toolchain is available - everything works without the native path, it is
+a data-loader accelerator for multi-gigabase inputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: "ctypes.CDLL | None | bool" = None  # None = not tried, False = unavailable
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native", "fastaio.cpp")
+
+
+def _build_lib() -> "ctypes.CDLL | None":
+    so_path = _SRC.replace(".cpp", ".so")
+    try:
+        if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(so_path)
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+    lib.fasta_stats.restype = ctypes.c_int
+    lib.fasta_stats.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.fasta_parse.restype = ctypes.c_int
+    lib.fasta_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.encode_seq.restype = ctypes.c_long
+    lib.encode_seq.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p]
+    return lib
+
+
+def get_lib() -> "ctypes.CDLL | None":
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            _LIB = _build_lib() or False
+    return _LIB or None
+
+
+def load_fasta_native(path: str):
+    """Parse a fasta file with the native library.
+
+    Returns (codes, offsets, lengths, descriptions) where ``codes`` is one
+    contiguous int8 array of all records' 2-bit codes, or None if the
+    native path is unavailable.  Raises ValueError on invalid nucleotides
+    (matching the Python parser's behaviour).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as fh:
+        try:
+            buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # empty file
+            return np.zeros(0, np.int8), np.zeros(0, np.int64), np.zeros(0, np.int64), []
+        try:
+            n = len(buf)
+            n_records = ctypes.c_long()
+            total_seq = ctypes.c_long()
+            cbuf = (ctypes.c_char * n).from_buffer_copy(buf)
+        finally:
+            buf.close()
+
+    rc = lib.fasta_stats(cbuf, n, ctypes.byref(n_records), ctypes.byref(total_seq))
+    if rc != 0:
+        raise ValueError(f"no fasta records found in {path}")
+    nr = n_records.value
+    codes = np.empty(total_seq.value, dtype=np.int8)
+    offsets = np.empty(nr, dtype=np.int64)
+    lengths = np.empty(nr, dtype=np.int64)
+    desc_buf = ctypes.create_string_buffer(n)
+    desc_lens = np.empty(nr, dtype=np.int64)
+    rc = lib.fasta_parse(
+        cbuf, n,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        desc_buf, n,
+        desc_lens.ctypes.data_as(ctypes.c_void_p),
+        nr,
+    )
+    if rc == -2:
+        raise ValueError(
+            f"invalid nucleotide character at byte {offsets[0]} of {path} (only A/C/G/T/N supported)"
+        )
+    if rc != 0:
+        raise ValueError(f"malformed fasta file {path}")
+    descs, d = [], 0
+    raw = desc_buf.raw
+    for r in range(nr):
+        descs.append(raw[d : d + int(desc_lens[r])].decode("ascii"))
+        d += int(desc_lens[r])
+    return codes, offsets, lengths, descs
