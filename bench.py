@@ -36,7 +36,11 @@ def main() -> None:
     rng = np.random.default_rng(42)
     codes = rng.integers(0, 4, n_bp, dtype=np.int8)
 
-    engine = ScanEngine(profile.sum_kfv, k=profile.k, ws=profile.windowsize, r=profile.n_records)
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
+    engine = ScanEngine(
+        profile.sum_kfv, k=profile.k, ws=profile.windowsize, r=profile.n_records,
+        chunk_windows=chunk,
+    )
 
     # Warmup: compile all chunk buckets on a small prefix.
     engine.record_stream(codes[: engine.chunk + profile.windowsize], thr)

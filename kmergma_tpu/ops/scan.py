@@ -127,8 +127,8 @@ def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None
         )
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "cap"))
-def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap):
+@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "use_pallas"))
+def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas=False):
     """One tile of the scan with on-device candidate compaction.
 
     Returns (d_first, count, idx, vals, last_below): the tile's first-window
@@ -138,7 +138,12 @@ def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r
     the tile's last valid window is below threshold (seeds the next tile's
     rising-edge detection).
     """
-    d = scan_window_distances(codes, s_profile, k, ws, r)
+    if use_pallas:
+        from .scan_pallas import scan_window_distances_pallas
+
+        d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
+    else:
+        d = scan_window_distances(codes, s_profile, k, ws, r)
     t = d.shape[0]
     valid = jnp.arange(t) < n_valid
     below = (d < thr_int) & valid
@@ -151,8 +156,12 @@ def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r
     return d[0], count, idx.astype(jnp.int32), vals, last_below
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r"))
-def _scan_chunk_full(codes, s_profile, k, ws, r):
+@partial(jax.jit, static_argnames=("k", "ws", "r", "use_pallas"))
+def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
+    if use_pallas:
+        from .scan_pallas import scan_window_distances_pallas
+
+        return scan_window_distances_pallas(codes, s_profile, k, ws, r)
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
@@ -173,13 +182,18 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 16):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 18, cap: int = 1 << 16, use_pallas: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
         self.chunk = chunk_windows
         self.cap = cap
         self.scale = 2.0 * k * r * r
+        if use_pallas is None:
+            # the Mosaic kernel is the production path on TPU; the pure-XLA
+            # formulation is the portable fallback (and interpret-mode oracle)
+            use_pallas = jax.default_backend() == "tpu" and 4**k <= 2**14
+        self.use_pallas = use_pallas
 
     def _thr_int(self, thr: float) -> np.int32:
         # Conservative device-side threshold: superset of the exact host
@@ -216,10 +230,10 @@ class ScanEngine:
                 chunk_codes = np.pad(chunk_codes, (0, bucket + self.ws - 1 - chunk_codes.shape[0]))
             chunk_dev = jnp.asarray(chunk_codes)
             if collect_dists:
-                return chunk_dev, _scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r)
+                return chunk_dev, _scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r, self.use_pallas)
             return chunk_dev, _scan_chunk_compact(
                 chunk_dev, self.s_dev, prev_below, np.int32(t), thr_int,
-                self.k, self.ws, self.r, self.cap,
+                self.k, self.ws, self.r, self.cap, self.use_pallas,
             )
 
         # Pipelined dispatch: each chunk's `prev_below` is the previous
@@ -243,7 +257,7 @@ class ScanEngine:
                 d0, count, idx, vals, last_below = out
                 count = int(count)
                 if count > self.cap:
-                    d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r))[:t]
+                    d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r, self.use_pallas))[:t]
                     self._stream_from_full(d, start, host_prev_below, thr_int, stream)
                     host_prev_below = bool(d[t - 1] < thr_int)
                 else:

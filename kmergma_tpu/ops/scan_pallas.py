@@ -41,7 +41,12 @@ def _interpret_default() -> bool:
 
 
 def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
-    """One grid step: ROWS tiles. k_ref: (ROWS, t + w), ab_ref: (ROWS, t)."""
+    """One grid step: ROWS tiles. k_ref: (ROWS, t + w), ab_ref: (ROWS, t).
+
+    int32 lanes: Mosaic on v5e rejects sub-word integer comparisons
+    (vector<...xi16> cmpi fails to compile), so codes and accumulators stay
+    int32 with 8 tiles per grid step.
+    """
     kl = k_ref[:, :t]  # leaving k-mer of each transition
     kr = k_ref[:, w : w + t]  # entering k-mer
     a = jnp.zeros((ROWS, t), dtype=jnp.int32)

@@ -61,6 +61,72 @@ def estimate_optimal_thresholds(
     return out
 
 
+def mutate_seq(seq: str, mut_rate: float, seed: int | None = None) -> str:
+    """String-level mutation helper (ref DistanceTesting.jl:57-67)."""
+    from ..consts import decode_seq, encode_seq
+
+    rng = np.random.default_rng(seed)
+    return decode_seq(mutate_seq_codes(encode_seq(seq), mut_rate, rng))
+
+
+def substitution_distance_sweep(
+    mean_kfv: np.ndarray,
+    base_seq_codes: np.ndarray,
+    num_seeds: int = 42,
+    stepsize: float = 0.0125,
+) -> np.ndarray:
+    """Distance-vs-mutation-rate sweep (ref DistanceTesting.jl:69-84's
+    gen_sub_vs_ref, returning the data instead of a Plots scatter).
+
+    Returns an array of shape (num_seeds, n_steps): for each seed, the
+    k-mer distance of the progressively mutated sequence to the profile at
+    mutation rates 0, stepsize, ..., 1.
+    """
+    from ..consts import get_k
+
+    k = get_k(mean_kfv.shape[0])
+    rates = np.arange(0.0, 1.0 + 1e-12, stepsize)
+    out = np.empty((num_seeds, rates.shape[0]), dtype=np.float64)
+    for s in range(num_seeds):
+        rng = np.random.default_rng(s + 1)
+        for i, rate in enumerate(rates):
+            mutated = mutate_seq_codes(base_seq_codes, float(rate), rng)
+            out[s, i] = kmer_dist(mutated, mean_kfv, k)
+    return out
+
+
+def strobemer_distance_sweep(
+    base_seq_codes: np.ndarray,
+    s: int = 2,
+    w_min: int = 3,
+    w_max: int = 5,
+    q: int = 5,
+    num_trials: int = 10,
+    stepsize: float = 0.05,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mutation-rate sweep of strobemer-spectrum distance
+    (ref StrobemerGMA/MonteCarloBenchmark.jl:2-23, made callable).
+
+    Returns (num_trials, n_steps) distances between the base sequence's
+    strobemer spectrum and progressively mutated copies.
+    """
+    from .strobemers import ungapped_strobe_2_mer_count
+
+    k_eff = w_max + s - 1
+    base = ungapped_strobe_2_mer_count(base_seq_codes, s, w_min, w_max, q)
+    rates = np.arange(0.0, 1.0 + 1e-12, stepsize)
+    out = np.empty((num_trials, rates.shape[0]), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for t in range(num_trials):
+        for i, rate in enumerate(rates):
+            mutated = mutate_seq_codes(base_seq_codes, float(rate), rng)
+            spec = ungapped_strobe_2_mer_count(mutated, s, w_min, w_max, q)
+            diff = base - spec
+            out[t, i] = (1.0 / (2 * k_eff)) * float(np.dot(diff, diff))
+    return out
+
+
 def mutate_seq_codes(codes: np.ndarray, mut_rate: float, rng: np.random.Generator) -> np.ndarray:
     """Random substitution of ~``mut_rate`` of positions to a different base
     (ref DistanceTesting.jl:38-67).  Returns a new code array."""
