@@ -40,6 +40,25 @@ class MineResult:
     hit_loci: list[int] = field(default_factory=list)
     alignments: list[AlignResult] = field(default_factory=list)
     dists: np.ndarray | None = None  # concatenated per-window distances
+    stats: "ScanStats | None" = None
+
+
+@dataclass
+class ScanStats:
+    """Observability counters for a mine run (the reference has only
+    @info strings, SURVEY.md section 5.5)."""
+
+    records_scanned: int = 0
+    records_skipped: int = 0
+    bp_scanned: int = 0
+    windows_scanned: int = 0
+    candidate_windows: int = 0
+    hits: int = 0
+    wall_seconds: float = 0.0
+
+    @property
+    def mbp_per_second(self) -> float:
+        return self.bp_scanned / self.wall_seconds / 1e6 if self.wall_seconds else 0.0
 
 
 def mine_genome(
@@ -54,20 +73,45 @@ def mine_genome(
     do_return_align: bool = False,
     get_hit_loci: bool = False,
     engine: ScanEngine | None = None,
+    checkpoint_path: str | None = None,
 ) -> MineResult:
+    import time
+
     k, ws = profile.k, profile.windowsize
     if engine is None:
         engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
     consensus_ws = profile.consensus_ws
     res = MineResult()
+    res.stats = stats = ScanStats()
     dist_parts: list[np.ndarray] = []
+    t_start = time.perf_counter()
 
-    genome_pos = 0
-    for record in as_records(genome):
+    ckpt = None
+    if checkpoint_path is not None:
+        from ..utils.checkpoint import ScanCheckpoint
+
+        genome_id = f"{genome if isinstance(genome, str) else 'records'}|k={k}|ws={ws}|thr={thr}"
+        ckpt = ScanCheckpoint.load_or_create(checkpoint_path, genome_id)
+        res.hits.extend(ckpt.restore_hits())
+        res.hit_loci.extend(ckpt.hit_loci)
+
+    genome_pos = ckpt.genome_pos if ckpt else 0
+    for record_idx, record in enumerate(as_records(genome)):
+        if ckpt and record_idx < ckpt.next_record:
+            continue
+        hits_before, loci_before = len(res.hits), len(res.hit_loci)
         seq_len = len(record)
         if seq_len < ws:
+            # ref GenomeMiner.jl:37-39: `continue` also skips genome_pos
+            stats.records_skipped += 1
+            if ckpt:
+                ckpt.record_done(record_idx, genome_pos, [], [])
             continue
         dist0, stream, dists = engine.record_stream(record.codes, thr, collect_dists=do_return_dists)
+        stats.records_scanned += 1
+        stats.bp_scanned += seq_len
+        stats.windows_scanned += seq_len - ws + 1
+        stats.candidate_windows += len(stream)
         if dists is not None:
             dist_parts.append(dists[1:])  # the reference records only the iterative phase
 
@@ -91,7 +135,15 @@ def mine_genome(
             if get_hit_loci:
                 res.hit_loci.append(start + genome_pos)
         genome_pos += seq_len
+        if ckpt:
+            ckpt.record_done(
+                record_idx, genome_pos, res.hits[hits_before:], res.hit_loci[loci_before:]
+            )
 
+    if ckpt:
+        ckpt.done()
+    stats.hits = len(res.hits)
+    stats.wall_seconds = time.perf_counter() - t_start
     if do_return_dists:
         res.dists = np.concatenate(dist_parts) if dist_parts else np.empty(0)
     return res

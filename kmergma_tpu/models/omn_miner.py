@@ -64,9 +64,12 @@ def mine_genome_clusters(
 
         seq_str = record.seq_str().upper()
         dist0s, streams = [], []
+        # one H2D per record, shared by all cluster engines
+        shared_dev = engines[0].prepare_codes(record.codes, max_ws=maxws)
         for ind in range(m):
             d0, stream, dists = engines[ind].record_stream(
-                record.codes, thr_vec[ind], collect_dists=do_return_dists
+                record.codes, thr_vec[ind], collect_dists=do_return_dists,
+                codes_dev=shared_dev,
             )
             dist0s.append(d0)
             streams.append(stream)

@@ -149,7 +149,14 @@ def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r
     below = (d < thr_int) & valid
     prevb = jnp.concatenate([prev_below[None], below[:-1]])
     mask = (below | prevb) & valid
-    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    # top_k-based compaction: scores rank masked indices earliest-first
+    # (jnp.nonzero's scatter-based lowering compiles poorly on some TPU
+    # toolchains; top_k is a single well-supported HLO).
+    score = jnp.where(mask, t - jnp.arange(t, dtype=jnp.int32), 0)
+    top, _ = jax.lax.top_k(score, min(cap, t))
+    if cap > t:
+        top = jnp.pad(top, (0, cap - t))
+    idx = jnp.where(top > 0, t - top, 0)
     vals = d[idx]
     count = mask.sum()
     last_below = jnp.take(below, n_valid - 1)
@@ -165,12 +172,26 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
-def _bucket(n: int, cap: int) -> int:
-    """Round up to a power of two (bounded) so jit recompiles stay few."""
-    b = 1024
-    while b < n and b < cap:
-        b <<= 1
-    return min(b, cap)
+@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "chunk", "use_pallas"))
+def _scan_at_compact(codes_dev, start, s_profile, prev_below, n_valid, thr_int, *, k, ws, r, cap, chunk, use_pallas):
+    """Compact-candidate scan of the chunk of windows starting at ``start``
+    of a DEVICE-RESIDENT padded code array.
+
+    Slicing on device means the host transfers each record once, not once
+    per chunk - essential when the host<->device link has high per-transfer
+    latency (remote TPU tunnels), and it keeps a single compiled shape per
+    configuration regardless of record length.
+    """
+    codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
+    return _scan_chunk_compact(
+        codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
+def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
+    codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
+    return _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas)
 
 
 class ScanEngine:
@@ -182,7 +203,7 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 18, cap: int = 1 << 16, use_pallas: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 14, use_pallas: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
@@ -200,12 +221,23 @@ class ScanEngine:
         # comparison (extra candidates are no-ops in the replay).
         return np.int32(min(np.floor(thr * self.scale) + 2, 2**31 - 1))
 
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False):
+    def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None) -> jnp.ndarray:
+        """One H2D transfer of a record, padded for device-side chunk slicing.
+
+        The returned array can be shared by several engines scanning the
+        same record (cluster mode) when padded for the largest windowsize.
+        """
+        pad = self.chunk + (max_ws if max_ws is not None else self.ws) + 1
+        return jnp.asarray(np.pad(np.asarray(codes, dtype=np.int8), (0, pad)))
+
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
         """Scan one record; return (dist0, stream, dists_or_None).
 
         ``dist0`` is the init-window distance, ``stream`` a sorted list of
         (window index >= 1, exact float64 distance) covering every window
         that can influence the minima state machine at threshold ``thr``.
+        ``codes_dev`` may pass a pre-transferred padded device array
+        (see ``prepare_codes``).
         """
         n = codes.shape[0]
         nw = n - self.ws + 1
@@ -214,6 +246,9 @@ class ScanEngine:
         stream: list[tuple[int, float]] = []
         dist0 = None
         full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
+
+        if codes_dev is None:
+            codes_dev = self.prepare_codes(codes)
 
         # Chunk boundaries (host side; chunks are independent on device).
         spans = []
@@ -224,16 +259,16 @@ class ScanEngine:
             start += t
 
         def launch(start: int, t: int, prev_below):
-            bucket = _bucket(t, self.chunk)
-            chunk_codes = codes[start : min(start + bucket + self.ws - 1, n)]
-            if chunk_codes.shape[0] < bucket + self.ws - 1:
-                chunk_codes = np.pad(chunk_codes, (0, bucket + self.ws - 1 - chunk_codes.shape[0]))
-            chunk_dev = jnp.asarray(chunk_codes)
             if collect_dists:
-                return chunk_dev, _scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r, self.use_pallas)
-            return chunk_dev, _scan_chunk_compact(
-                chunk_dev, self.s_dev, prev_below, np.int32(t), thr_int,
-                self.k, self.ws, self.r, self.cap, self.use_pallas,
+                return codes_dev, _scan_at_full(
+                    codes_dev, np.int32(start), self.s_dev,
+                    k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
+                    use_pallas=self.use_pallas,
+                )
+            return codes_dev, _scan_at_compact(
+                codes_dev, np.int32(start), self.s_dev, prev_below, np.int32(t), thr_int,
+                k=self.k, ws=self.ws, r=self.r, cap=self.cap, chunk=self.chunk,
+                use_pallas=self.use_pallas,
             )
 
         # Pipelined dispatch: each chunk's `prev_below` is the previous
@@ -257,7 +292,13 @@ class ScanEngine:
                 d0, count, idx, vals, last_below = out
                 count = int(count)
                 if count > self.cap:
-                    d = np.asarray(_scan_chunk_full(chunk_dev, self.s_dev, self.k, self.ws, self.r, self.use_pallas))[:t]
+                    d = np.asarray(
+                        _scan_at_full(
+                            codes_dev, np.int32(start), self.s_dev,
+                            k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
+                            use_pallas=self.use_pallas,
+                        )
+                    )[:t]
                     self._stream_from_full(d, start, host_prev_below, thr_int, stream)
                     host_prev_below = bool(d[t - 1] < thr_int)
                 else:

@@ -47,13 +47,28 @@ def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
     (vector<...xi16> cmpi fails to compile), so codes and accumulators stay
     int32 with 8 tiles per grid step.
     """
-    kl = k_ref[:, :t]  # leaving k-mer of each transition
-    kr = k_ref[:, w : w + t]  # entering k-mer
-    a = jnp.zeros((ROWS, t), dtype=jnp.int32)
-    b = jnp.zeros((ROWS, t), dtype=jnp.int32)
-    for d in range(1, w + 1):  # static unroll: every slice is lane-static
-        a += (k_ref[:, w - d : w - d + t] == kr).astype(jnp.int32)
-        b += (k_ref[:, d - 1 : d - 1 + t] == kl).astype(jnp.int32)
+    k_all = k_ref[:, :]
+    kl = k_all[:, :t]  # leaving k-mer of each transition
+    kr = k_all[:, w : w + t]  # entering k-mer
+
+    # Mosaic constraints shape this loop: a full static unroll OOMs scoped
+    # VMEM (one live temp per depth) and dynamic lane slices must be
+    # 128-aligned.  Instead the two shifted views are carried as cyclic
+    # rolls advanced by +-1 (static shift) per iteration:
+    #   ka_d = roll_left(K, w - d)   ->  ka_d[:, :t] == K[:, w-d : w-d+t]
+    #   kb_d = roll_left(K, d - 1)   ->  kb_d[:, :t] == K[:, d-1 : d-1+t]
+    # (wrapped lanes stay >= t because the shifts stay < w, so the compared
+    # region is never contaminated).
+    ka0 = jnp.roll(k_all, -(w - 1), axis=1)
+    zero = jnp.zeros((ROWS, t), dtype=jnp.int32)
+
+    def body(d, carry):
+        a, b, ka, kb = carry
+        a = a + (ka[:, :t] == kr).astype(jnp.int32)
+        b = b + (kb[:, :t] == kl).astype(jnp.int32)
+        return a, b, jnp.roll(ka, 1, axis=1), jnp.roll(kb, -1, axis=1)
+
+    a, b, _, _ = jax.lax.fori_loop(1, w + 1, body, (zero, zero, ka0, k_all))
     ab_ref[:, :] = a - b
 
 

@@ -37,7 +37,13 @@ def _tile_kernel(codes_tile, s_profile, thr_int, k: int, ws: int, r: int, cap: i
     below = d < thr_int
     prevb = jnp.concatenate([jnp.zeros(1, dtype=bool), below[:-1]])
     mask = below | prevb
-    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    # top_k compaction (ascending indices), as in ops.scan._scan_chunk_compact
+    t = d.shape[0]
+    score = jnp.where(mask, t - jnp.arange(t, dtype=jnp.int32), 0)
+    top, _ = jax.lax.top_k(score, min(cap, t))
+    if cap > t:
+        top = jnp.pad(top, (0, cap - t))
+    idx = jnp.where(top > 0, t - top, 0)
     vals = d[idx]
     count = mask.sum()
     # first-window flag feeds the next tile's rising-edge detection on host
