@@ -57,13 +57,19 @@ def replay_single(
     ws: int,
     seq_len: int,
     buff: int,
+    cmi_offset: int | None = None,
 ) -> list[RawHit]:
     """Exact replay of the single-profile minima machine
     (ref GenomeMiner.jl:57-104) over one record's candidate stream.
 
     ``stream`` must yield (j, d) sorted by j for every window with d < thr
     and every rising-edge window; other windows cannot change the state.
+    ``cmi_offset`` maps the window index j to the recorded CMI: the k-mer
+    miner uses i_left = j + k - 1 (the default); the strobemer miner uses
+    the raw step index j (StrobeGenomeMiner.jl:75 -> cmi_offset=0).
     """
+    if cmi_offset is None:
+        cmi_offset = k - 1
     hits: list[RawHit] = []
     currminim = dist0
     cmi, stop, goal_ind = 2, True, 0
@@ -72,7 +78,7 @@ def replay_single(
         if d < thr:
             if d < currminim:
                 currminim = d
-                cmi = k + j - 1  # i_left of window j
+                cmi = j + cmi_offset
                 stop = False
         elif not stop:
             stop = True

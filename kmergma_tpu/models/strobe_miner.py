@@ -27,6 +27,8 @@ from .miner import MineResult, fmt_dist
 @dataclass
 class StrobeProfile:
     mean_kfv: np.ndarray  # float64[4^(2s)]
+    sum_kfv: np.ndarray  # int64[4^(2s)], exact integer sum (scan path)
+    n_records: int
     windowsize: int
     consensus: str
     s: int
@@ -58,6 +60,8 @@ def gen_strobe_ref_ws_cons(
     inv = 1.0 / n
     return StrobeProfile(
         mean_kfv=sums * inv,
+        sum_kfv=sums.astype(np.int64),
+        n_records=n,
         windowsize=int(np.round(cum * inv)),
         consensus=profile.consensus_str(),
         s=s,
@@ -80,12 +84,17 @@ def strobe_mine_genome(
     do_return_align: bool = False,
     get_hit_loci: bool = False,
 ) -> MineResult:
+    import jax.numpy as jnp
+
+    from ..ops.scan_strobe import strobe_scan_from_codes
+    from .state_machine import candidate_stream_from_dists, replay_single
+
     s, w_min, w_max, q = profile.s, profile.w_min, profile.w_max, profile.q
     k = profile.k
     ws = profile.windowsize
-    scale = 1.0 / (2 * k)
-    sf = 1.0 / k
-    ref = profile.mean_kfv
+    r = profile.n_records
+    scale = 2.0 * k * r * r
+    sprof = jnp.asarray(profile.sum_kfv.astype(np.int32))
     consensus_ws = profile.consensus[:ws]
 
     res = MineResult()
@@ -97,64 +106,48 @@ def strobe_mine_genome(
             # ref StrobeGenomeMiner.jl:36: `continue` skips genome_pos too
             continue
         codes = record.codes
-        sc = strobe_2_mer_codes(codes, s, w_min, w_max, q)  # code at 0-based pos
-        gl = ref[sc]
+        # vectorised strobemer extraction + exact-integer device scan of the
+        # reference recurrence (incl. its boundary-drift closed form)
+        sc = strobe_2_mer_codes(codes, s, w_min, w_max, q)
+        n_steps = seq_len - ws - 1
+        d_scaled = np.asarray(
+            strobe_scan_from_codes(
+                jnp.asarray(sc.astype(np.int32)), sprof, ws - k, r, n_steps
+            )
+        )
+        dists = d_scaled.astype(np.float64) / scale  # exact rationals
+        if do_return_dists:
+            dist_parts.append(dists[1:])
 
-        c = np.zeros(4 ** (2 * s), dtype=np.float64)
-        ungapped_strobe_2_mer_count_into(codes[:ws], c, s, w_min, w_max, q)
-        diff = ref - c
-        dist = scale * float(np.dot(diff, diff))
+        raw_hits = replay_single(
+            candidate_stream_from_dists(dists, thr), float(dists[0]), thr,
+            k=k, ws=ws, seq_len=seq_len, buff=buff, cmi_offset=0,
+        )
 
         seq_str = record.seq_str().upper()
-        cmi, stop, currminim, goal_ind = 2, True, dist, 0
-        n_steps = seq_len - ws - 1
-        dists = np.empty(n_steps, dtype=np.float64) if do_return_dists else None
-
-        for i in range(1, n_steps + 1):
-            li = sc[i - 1]  # strobemer anchored at 1-based i
-            ri = sc[i + ws - k - 1]  # the reference's i+ws-k anchor
-            if li != ri:
-                dist += sf * (1.0 + c[ri] + gl[i - 1] - ref[ri] - c[li])
-                c[li] -= 1.0
-                c[ri] += 1.0
-            if dists is not None:
-                dists[i - 1] = dist
-            if dist < thr:
-                if dist < currminim:
-                    currminim = dist
-                    cmi = i
-                    stop = False
-            elif not stop:
-                stop = True
-                cmi += 1
-                if cmi > goal_ind:
-                    goal_ind = cmi + ws - 1
-                    lo = max(cmi - buff, 1)
-                    hi = min(cmi + ws - 1 + buff, seq_len)
-                    rng = (lo, hi)
-                    keep = True
-                    if do_align:
-                        aln = semiglobal_align(consensus_ws, seq_str[lo - 1 : hi], gap_open, gap_extend)
-                        if aln.score < score_threshold:
-                            keep = False  # ref Alignment.jl:96-98 score filter
-                        else:
-                            if do_return_align:
-                                res.alignments.append(aln)
-                            alo, ahi = cigar_to_unitrange(aln)
-                            rng = (max(1, lo + alo - 1), min(lo + ahi - 1, seq_len))
-                    if keep:
-                        desc = (
-                            f"{record.identifier} | dist = {fmt_dist(currminim)}"
-                            f" | MatchPos = {rng[0]}:{rng[1]}"
-                            f" | GenomePos = {genome_pos}"
-                            f" | Len = {rng[1] - rng[0] + 1}"
-                        )
-                        res.hits.append(FastaRecord(desc, seq_str[rng[0] - 1 : rng[1]].encode()))
-                        if get_hit_loci:
-                            res.hit_loci.append(rng[0] + genome_pos)
-                    currminim = dist
-        if dists is not None:
-            dist_parts.append(dists)
+        for hit in raw_hits:
+            lo, hi = hit.start, hit.stop
+            rng = (lo, hi)
+            keep = True
+            if do_align:
+                aln = semiglobal_align(consensus_ws, seq_str[lo - 1 : hi], gap_open, gap_extend)
+                if aln.score < score_threshold:
+                    keep = False  # ref Alignment.jl:96-98 score filter
+                else:
+                    if do_return_align:
+                        res.alignments.append(aln)
+                    alo, ahi = cigar_to_unitrange(aln)
+                    rng = (max(1, lo + alo - 1), min(lo + ahi - 1, seq_len))
+            if keep:
+                desc = (
+                    f"{record.identifier} | dist = {fmt_dist(hit.dist)}"
+                    f" | MatchPos = {rng[0]}:{rng[1]}"
+                    f" | GenomePos = {genome_pos}"
+                    f" | Len = {rng[1] - rng[0] + 1}"
+                )
+                res.hits.append(FastaRecord(desc, seq_str[rng[0] - 1 : rng[1]].encode()))
+                if get_hit_loci:
+                    res.hit_loci.append(rng[0] + genome_pos)
         genome_pos += seq_len
 
     if do_return_dists:
