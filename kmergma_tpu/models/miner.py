@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..ops.align import AlignResult, align_unitrange
+from ..ops.align import AlignResult, cigar_to_unitrange, semiglobal_align
 from ..ops.reference import RefProfile
 from ..ops.scan import ScanEngine
 from ..utils.fasta import FastaRecord, PathOrRecords, as_records
@@ -116,22 +116,28 @@ def mine_genome(
             dist_parts.append(dists[1:])  # the reference records only the iterative phase
 
         raw_hits = replay_single(stream, dist0, thr, k=k, ws=ws, seq_len=seq_len, buff=buff)
-        seq_str = record.seq_str().upper()
         for hit in raw_hits:
             start, stop = hit.start, hit.stop
             if do_align:
-                start, stop = align_unitrange(
-                    seq_str, start, stop, consensus_ws, ws, seq_len,
-                    gap_open, gap_extend,
-                    collector=res.alignments if do_return_align else None,
-                )
+                # align on the buffered window only (never materialise a
+                # full uppercased copy of a multi-Gbp contig), then remap
+                # with the reference's semantics: the CIGAR range counts
+                # query-only (I) ops too, so the trimmed range can extend
+                # BEYOND the window, clamped only at the contig end
+                # (ref Alignment.jl:49-51)
+                window = record.seq[start - 1 : stop].decode("ascii").upper()
+                aln = semiglobal_align(consensus_ws, window, gap_open, gap_extend)
+                if do_return_align:
+                    res.alignments.append(aln)
+                lo, hi = cigar_to_unitrange(aln)
+                start, stop = max(1, hit.start + lo - 1), min(hit.start + hi - 1, seq_len)
             desc = (
                 f"{record.identifier} | dist = {fmt_dist(hit.dist)}"
                 f" | MatchPos = {start}:{stop}"
                 f" | GenomePos = {genome_pos}"
                 f" | Len = {stop - start + 1}"
             )
-            res.hits.append(FastaRecord(desc, seq_str[start - 1 : stop].encode()))
+            res.hits.append(FastaRecord(desc, record.seq[start - 1 : stop].upper()))
             if get_hit_loci:
                 res.hit_loci.append(start + genome_pos)
         genome_pos += seq_len

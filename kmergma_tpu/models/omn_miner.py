@@ -62,7 +62,6 @@ def mine_genome_clusters(
             genome_pos += seq_len
             continue
 
-        seq_str = record.seq_str().upper()
         dist0s, streams = [], []
         # one H2D per record, shared by all cluster engines
         shared_dev = engines[0].prepare_codes(record.codes, max_ws=maxws)
@@ -92,8 +91,9 @@ def mine_genome_clusters(
                 # truncated to ws for real clusters, full-length for the
                 # appended average cluster (OmnGenomeMiner.jl:131 uses
                 # consensus_seqs[ind] as-is).
+                window = record.seq[lo - 1 : hi].decode("ascii").upper()
                 aln = semiglobal_align(
-                    profiles[ev.cluster].consensus, seq_str[lo - 1 : hi], gap_open, gap_extend
+                    profiles[ev.cluster].consensus, window, gap_open, gap_extend
                 )
                 if do_return_align:
                     # the reference collects the alignment BEFORE the second
@@ -111,7 +111,7 @@ def mine_genome_clusters(
                 f" | GenomePos = {genome_pos}"
                 f" | Len = {rng[1] - rng[0] + 1}"
             )
-            res.hits.append(FastaRecord(desc, seq_str[rng[0] - 1 : rng[1]].encode()))
+            res.hits.append(FastaRecord(desc, record.seq[rng[0] - 1 : rng[1]].upper()))
             if get_hit_loci:
                 res.hit_loci.append(rng[0] + genome_pos)
             prev_range = rng

@@ -124,13 +124,13 @@ def strobe_mine_genome(
             k=k, ws=ws, seq_len=seq_len, buff=buff, cmi_offset=0,
         )
 
-        seq_str = record.seq_str().upper()
         for hit in raw_hits:
             lo, hi = hit.start, hit.stop
             rng = (lo, hi)
             keep = True
             if do_align:
-                aln = semiglobal_align(consensus_ws, seq_str[lo - 1 : hi], gap_open, gap_extend)
+                window = record.seq[lo - 1 : hi].decode("ascii").upper()
+                aln = semiglobal_align(consensus_ws, window, gap_open, gap_extend)
                 if aln.score < score_threshold:
                     keep = False  # ref Alignment.jl:96-98 score filter
                 else:
@@ -145,7 +145,7 @@ def strobe_mine_genome(
                     f" | GenomePos = {genome_pos}"
                     f" | Len = {rng[1] - rng[0] + 1}"
                 )
-                res.hits.append(FastaRecord(desc, seq_str[rng[0] - 1 : rng[1]].encode()))
+                res.hits.append(FastaRecord(desc, record.seq[rng[0] - 1 : rng[1]].upper()))
                 if get_hit_loci:
                     res.hit_loci.append(rng[0] + genome_pos)
         genome_pos += seq_len

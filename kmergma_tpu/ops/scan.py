@@ -100,6 +100,14 @@ def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws
     return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
 
 
+def _pow2_bucket(n: int, cap: int) -> int:
+    """Smallest power of two >= n (bounded by cap) - keeps jit shape variants few."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, cap)
+
+
 def scaled_threshold(thr: float, k: int, r: int) -> float:
     """Map a user-space distance threshold into the scaled-integer domain."""
     return float(thr) * (2 * k * r * r)
@@ -172,6 +180,32 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
+@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "chunk", "use_pallas", "n_chunks"))
+def _scan_record_batch(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws, r, cap, chunk, use_pallas, n_chunks):
+    """Scan ALL chunks of a record in one device call.
+
+    A lax.scan over chunk starts (carrying the below-threshold edge flag
+    between chunks) produces one packed int32 row per chunk:
+    ``[d_first, count, last_below, idx[cap], vals[cap]]``.  One call + one
+    host fetch per record - essential when every host<->device round trip
+    costs ~100ms through a remote-TPU relay.
+    """
+
+    def step(prev_below, xs):
+        start, n_valid = xs
+        codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
+        d0, count, idx, vals, last_below = _scan_chunk_compact(
+            codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas
+        )
+        packed = jnp.concatenate(
+            [jnp.stack([d0, count, last_below.astype(jnp.int32)]), idx, vals]
+        )
+        return last_below, packed
+
+    _, packed = jax.lax.scan(step, jnp.asarray(False), (starts, n_valids), length=n_chunks)
+    return packed
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "chunk", "use_pallas"))
 def _scan_at_compact(codes_dev, start, s_profile, prev_below, n_valid, thr_int, *, k, ws, r, cap, chunk, use_pallas):
     """Compact-candidate scan of the chunk of windows starting at ``start``
@@ -203,12 +237,13 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 14, use_pallas: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 12, use_pallas: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
         self.chunk = chunk_windows
         self.cap = cap
+        self.max_batch_chunks = 64  # chunks per device call (bounds fetch size)
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -258,69 +293,71 @@ class ScanEngine:
             spans.append((start, t))
             start += t
 
-        def launch(start: int, t: int, prev_below):
-            if collect_dists:
-                return codes_dev, _scan_at_full(
-                    codes_dev, np.int32(start), self.s_dev,
-                    k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
-                    use_pallas=self.use_pallas,
-                )
-            return codes_dev, _scan_at_compact(
-                codes_dev, np.int32(start), self.s_dev, prev_below, np.int32(t), thr_int,
-                k=self.k, ws=self.ws, r=self.r, cap=self.cap, chunk=self.chunk,
-                use_pallas=self.use_pallas,
-            )
-
-        # Pipelined dispatch: each chunk's `prev_below` is the previous
-        # chunk's device-side last-window flag, so launches chain WITHOUT a
-        # host sync - JAX's async dispatch keeps the device busy while the
-        # host consumes results a few chunks behind.
-        inflight: list = []
-        prev_below_dev = jnp.asarray(False)
-        host_prev_below = False  # replicated on host for full-transfer chunks
-        max_inflight = 8
-
-        def consume(item):
-            nonlocal dist0, host_prev_below
-            start, t, chunk_dev, out = item
-            if collect_dists:
-                d = np.asarray(out)[:t]
+        if collect_dists:
+            host_prev_below = False
+            for start, t in spans:
+                d = np.asarray(
+                    _scan_at_full(
+                        codes_dev, np.int32(start), self.s_dev,
+                        k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
+                        use_pallas=self.use_pallas,
+                    )
+                )[:t]
                 full_dists[start : start + t] = d / self.scale
                 self._stream_from_full(d, start, host_prev_below, thr_int, stream)
                 host_prev_below = bool(d[t - 1] < thr_int)
-            else:
-                d0, count, idx, vals, last_below = out
-                count = int(count)
+            return float(full_dists[0]), stream, full_dists
+
+        # One batched device call + one fetch per super-batch of chunks:
+        # chunk results are packed rows [d0, count, last_below, idx, vals].
+        host_prev_below = False
+        for lo in range(0, len(spans), self.max_batch_chunks):
+            batch = spans[lo : lo + self.max_batch_chunks]
+            n_chunks = _pow2_bucket(len(batch), self.max_batch_chunks)
+            starts = np.zeros(n_chunks, dtype=np.int32)
+            n_valids = np.ones(n_chunks, dtype=np.int32)
+            for i, (s0, t) in enumerate(batch):
+                starts[i] = s0
+                n_valids[i] = t
+            packed = np.asarray(
+                _scan_record_batch(
+                    codes_dev, jnp.asarray(starts), jnp.asarray(n_valids),
+                    self.s_dev, thr_int,
+                    k=self.k, ws=self.ws, r=self.r, cap=self.cap,
+                    chunk=self.chunk, use_pallas=self.use_pallas,
+                    n_chunks=n_chunks,
+                )
+            )
+            # NOTE: the in-scan prev_below carry starts False per batch; the
+            # host patches the batch-boundary rising edge below.
+            for i, (s0, t) in enumerate(batch):
+                row = packed[i]
+                d0, count, last_below = int(row[0]), int(row[1]), int(row[2])
+                if s0 == 0:
+                    dist0 = float(d0) / self.scale
                 if count > self.cap:
                     d = np.asarray(
                         _scan_at_full(
-                            codes_dev, np.int32(start), self.s_dev,
+                            codes_dev, np.int32(s0), self.s_dev,
                             k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
                             use_pallas=self.use_pallas,
                         )
                     )[:t]
-                    self._stream_from_full(d, start, host_prev_below, thr_int, stream)
+                    self._stream_from_full(d, s0, host_prev_below, thr_int, stream)
                     host_prev_below = bool(d[t - 1] < thr_int)
-                else:
-                    for j, v in zip(np.asarray(idx[:count]), np.asarray(vals[:count])):
-                        gj = start + int(j)
-                        if gj >= 1:
-                            stream.append((gj, float(v) / self.scale))
-                    host_prev_below = bool(last_below)
-                if start == 0:
-                    dist0 = float(d0) / self.scale
-            if collect_dists and start == 0:
-                dist0 = float(full_dists[0])
-
-        for start, t in spans:
-            chunk_dev, out = launch(start, t, prev_below_dev)
-            if not collect_dists:
-                prev_below_dev = out[4]
-            inflight.append((start, t, chunk_dev, out))
-            if len(inflight) >= max_inflight:
-                consume(inflight.pop(0))
-        while inflight:
-            consume(inflight.pop(0))
+                    continue
+                idx = row[3 : 3 + count]
+                vals = row[3 + self.cap : 3 + self.cap + count]
+                # batch/chunk-boundary fix-up: if the previous chunk ended
+                # below threshold and this chunk's first window is not in
+                # its candidate set, window s0 is a rising edge.
+                if host_prev_below and (count == 0 or idx[0] != 0) and s0 >= 1:
+                    stream.append((s0, float(d0) / self.scale))
+                for j, v in zip(idx, vals):
+                    gj = s0 + int(j)
+                    if gj >= 1:
+                        stream.append((gj, float(v) / self.scale))
+                host_prev_below = bool(last_below)
 
         return dist0, stream, full_dists
 
