@@ -180,46 +180,37 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "chunk", "use_pallas", "n_chunks"))
-def _scan_record_batch(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws, r, cap, chunk, use_pallas, n_chunks):
-    """Scan ALL chunks of a record in one device call.
+@partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "block", "use_pallas"))
+def _scan_batch_bitmap(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws, r, chunk, block, use_pallas):
+    """Scan a batch of chunks; return (D, bitmap) with D device-resident.
 
-    A lax.scan over chunk starts (carrying the below-threshold edge flag
-    between chunks) produces one packed int32 row per chunk:
-    ``[d_first, count, last_below, idx[cap], vals[cap]]``.  One call + one
-    host fetch per record - essential when every host<->device round trip
-    costs ~100ms through a remote-TPU relay.
+    Candidate extraction is latency-shaped for remote TPUs: the device
+    returns only a tiny per-block activity bitmap (``any(D < thr)`` over
+    blocks of ``block`` windows - pure reductions, no sort/scatter, so it
+    compiles in seconds and runs at memory speed).  The full distance array
+    stays ON DEVICE; the host then fetches just the few active regions
+    around candidate runs.  Chunks are independent (no carry), so the batch
+    is a plain vmap.
     """
 
-    def step(prev_below, xs):
-        start, n_valid = xs
+    def one(start, n_valid):
         codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
-        d0, count, idx, vals, last_below = _scan_chunk_compact(
-            codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas
-        )
-        packed = jnp.concatenate(
-            [jnp.stack([d0, count, last_below.astype(jnp.int32)]), idx, vals]
-        )
-        return last_below, packed
+        if use_pallas:
+            from .scan_pallas import scan_window_distances_pallas
 
-    _, packed = jax.lax.scan(step, jnp.asarray(False), (starts, n_valids), length=n_chunks)
-    return packed
+            d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
+        else:
+            d = scan_window_distances(codes, s_profile, k, ws, r)
+        below = (d < thr_int) & (jnp.arange(chunk) < n_valid)
+        bitmap = below.reshape(chunk // block, block).any(axis=1)
+        return d, bitmap
+
+    return jax.vmap(one)(starts, n_valids)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "chunk", "use_pallas"))
-def _scan_at_compact(codes_dev, start, s_profile, prev_below, n_valid, thr_int, *, k, ws, r, cap, chunk, use_pallas):
-    """Compact-candidate scan of the chunk of windows starting at ``start``
-    of a DEVICE-RESIDENT padded code array.
-
-    Slicing on device means the host transfers each record once, not once
-    per chunk - essential when the host<->device link has high per-transfer
-    latency (remote TPU tunnels), and it keeps a single compiled shape per
-    configuration regardless of record length.
-    """
-    codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
-    return _scan_chunk_compact(
-        codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas
-    )
+@partial(jax.jit, static_argnames=("length",))
+def _fetch_rows_slice(d_batch, row, offset, length: int):
+    return jax.lax.dynamic_slice(d_batch[row], (offset,), (length,))
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -243,7 +234,8 @@ class ScanEngine:
         self.k, self.ws, self.r = k, ws, r
         self.chunk = chunk_windows
         self.cap = cap
-        self.max_batch_chunks = 64  # chunks per device call (bounds fetch size)
+        self.block = 512  # bitmap granularity (windows per activity block)
+        self.max_batch_chunks = 64  # chunks per device call (bounds D residency)
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -308,56 +300,80 @@ class ScanEngine:
                 host_prev_below = bool(d[t - 1] < thr_int)
             return float(full_dists[0]), stream, full_dists
 
-        # One batched device call + one fetch per super-batch of chunks:
-        # chunk results are packed rows [d0, count, last_below, idx, vals].
-        host_prev_below = False
+        # Bitmap-compacted path: per super-batch, one device call returns the
+        # distances (device-resident) plus a per-block activity bitmap; the
+        # host fetches D only for active regions (plus their right
+        # neighbours, which cover every rising edge).
+        block = self.block
+        nblocks = self.chunk // block
+        segments: list[tuple[int, np.ndarray]] = []  # (global start, D values)
+        force_first_block = True  # window 0 (dist0) lives in the first block
+
         for lo in range(0, len(spans), self.max_batch_chunks):
             batch = spans[lo : lo + self.max_batch_chunks]
-            n_chunks = _pow2_bucket(len(batch), self.max_batch_chunks)
-            starts = np.zeros(n_chunks, dtype=np.int32)
-            n_valids = np.ones(n_chunks, dtype=np.int32)
+            nb = _pow2_bucket(len(batch), self.max_batch_chunks)
+            starts = np.zeros(nb, dtype=np.int32)
+            n_valids = np.zeros(nb, dtype=np.int32)  # pads scan 0 valid windows
             for i, (s0, t) in enumerate(batch):
                 starts[i] = s0
                 n_valids[i] = t
-            packed = np.asarray(
-                _scan_record_batch(
-                    codes_dev, jnp.asarray(starts), jnp.asarray(n_valids),
-                    self.s_dev, thr_int,
-                    k=self.k, ws=self.ws, r=self.r, cap=self.cap,
-                    chunk=self.chunk, use_pallas=self.use_pallas,
-                    n_chunks=n_chunks,
-                )
+            d_dev, bitmap = _scan_batch_bitmap(
+                codes_dev, jnp.asarray(starts), jnp.asarray(n_valids),
+                self.s_dev, thr_int,
+                k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
+                block=block, use_pallas=self.use_pallas,
             )
-            # NOTE: the in-scan prev_below carry starts False per batch; the
-            # host patches the batch-boundary rising edge below.
-            for i, (s0, t) in enumerate(batch):
-                row = packed[i]
-                d0, count, last_below = int(row[0]), int(row[1]), int(row[2])
-                if s0 == 0:
-                    dist0 = float(d0) / self.scale
-                if count > self.cap:
-                    d = np.asarray(
-                        _scan_at_full(
-                            codes_dev, np.int32(s0), self.s_dev,
-                            k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
-                            use_pallas=self.use_pallas,
-                        )
-                    )[:t]
-                    self._stream_from_full(d, s0, host_prev_below, thr_int, stream)
-                    host_prev_below = bool(d[t - 1] < thr_int)
-                    continue
-                idx = row[3 : 3 + count]
-                vals = row[3 + self.cap : 3 + self.cap + count]
-                # batch/chunk-boundary fix-up: if the previous chunk ended
-                # below threshold and this chunk's first window is not in
-                # its candidate set, window s0 is a rising edge.
-                if host_prev_below and (count == 0 or idx[0] != 0) and s0 >= 1:
-                    stream.append((s0, float(d0) / self.scale))
-                for j, v in zip(idx, vals):
-                    gj = s0 + int(j)
-                    if gj >= 1:
-                        stream.append((gj, float(v) / self.scale))
-                host_prev_below = bool(last_below)
+            bm = np.asarray(bitmap)[: len(batch)]  # (real chunks, nblocks)
+
+            # active blocks + right-neighbour expansion (covers rising edges)
+            active = bm.copy()
+            active[:, 1:] |= bm[:, :-1]
+            carry = bm[:, -1]
+            for c in range(len(batch) - 1):
+                if carry[c]:
+                    active[c + 1, 0] = True
+            if force_first_block:
+                active[0, 0] = True
+                force_first_block = False
+            if carry[len(batch) - 1] and lo + len(batch) < len(spans):
+                force_first_block = True  # first block of next super-batch
+
+            # merge per-row runs of active blocks into bucketed fetches
+            for c in range(len(batch)):
+                s0, t = batch[c]
+                b = 0
+                while b < nblocks:
+                    if not active[c, b]:
+                        b += 1
+                        continue
+                    b_end = b
+                    while b_end + 1 < nblocks and active[c, b_end + 1]:
+                        b_end += 1
+                    need = (b_end - b + 1) * block
+                    length = min(_pow2_bucket(need, self.chunk), self.chunk)
+                    offset = min(b * block, self.chunk - length)
+                    vals = np.asarray(_fetch_rows_slice(d_dev, c, np.int32(offset), length))
+                    limit = min(length, t - offset)
+                    if limit > 0:
+                        segments.append((s0 + offset, vals[:limit]))
+                    b = b_end + 1
+
+        # Assemble the exact candidate stream from the fetched segments.
+        gidx = np.concatenate([np.arange(g, g + v.shape[0]) for g, v in segments])
+        gvals = np.concatenate([v for _, v in segments])
+        gidx, first = np.unique(gidx, return_index=True)
+        gvals = gvals[first]
+        if gidx[0] != 0:
+            raise AssertionError("scan bitmap path missed window 0")
+        dist0 = float(gvals[0]) / self.scale
+        below = gvals < thr_int
+        prev_is_below = np.zeros_like(below)
+        contiguous = np.zeros_like(below)
+        contiguous[1:] = gidx[1:] == gidx[:-1] + 1
+        prev_is_below[1:] = below[:-1]
+        keep = (below | (prev_is_below & contiguous)) & (gidx >= 1)
+        for j, v in zip(gidx[keep], gvals[keep]):
+            stream.append((int(j), float(v) / self.scale))
 
         return dist0, stream, full_dists
 
