@@ -181,7 +181,7 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "block", "use_pallas"))
-def _scan_batch_bitmap(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws, r, chunk, block, use_pallas):
+def _scan_batch_bitmap(codes_dev, spans, s_profile, thr_int, *, k, ws, r, chunk, block, use_pallas):
     """Scan a batch of chunks; return (D, bitmap) with D device-resident.
 
     Candidate extraction is latency-shaped for remote TPUs: the device
@@ -193,7 +193,8 @@ def _scan_batch_bitmap(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws
     is a plain vmap.
     """
 
-    def one(start, n_valid):
+    def one(span):
+        start, n_valid = span[0], span[1]
         codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
         if use_pallas:
             from .scan_pallas import scan_window_distances_pallas
@@ -201,11 +202,11 @@ def _scan_batch_bitmap(codes_dev, starts, n_valids, s_profile, thr_int, *, k, ws
             d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
         else:
             d = scan_window_distances(codes, s_profile, k, ws, r)
-        below = (d < thr_int) & (jnp.arange(chunk) < n_valid)
+        below = (d < thr_int[0]) & (jnp.arange(chunk) < n_valid)
         bitmap = below.reshape(chunk // block, block).any(axis=1)
         return d, bitmap
 
-    return jax.vmap(one)(starts, n_valids)
+    return jax.vmap(one)(spans)
 
 
 @partial(jax.jit, static_argnames=("length",))
@@ -235,7 +236,8 @@ class ScanEngine:
         self.chunk = chunk_windows
         self.cap = cap
         self.block = 512  # bitmap granularity (windows per activity block)
-        self.max_batch_chunks = 64  # chunks per device call (bounds D residency)
+        self.max_batch_chunks = 256  # chunks per device call (bounds D residency)
+        self._thr_cache: tuple[float, object] | None = None
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -312,14 +314,16 @@ class ScanEngine:
         for lo in range(0, len(spans), self.max_batch_chunks):
             batch = spans[lo : lo + self.max_batch_chunks]
             nb = _pow2_bucket(len(batch), self.max_batch_chunks)
-            starts = np.zeros(nb, dtype=np.int32)
-            n_valids = np.zeros(nb, dtype=np.int32)  # pads scan 0 valid windows
+            span_arr = np.zeros((nb, 2), dtype=np.int32)  # pads scan 0 valid windows
             for i, (s0, t) in enumerate(batch):
-                starts[i] = s0
-                n_valids[i] = t
+                span_arr[i] = (s0, t)
+            # a single small H2D per batch; the threshold scalar is cached
+            # (every host<->device transfer is a full round trip on remote
+            # TPU relays)
+            if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
+                self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
             d_dev, bitmap = _scan_batch_bitmap(
-                codes_dev, jnp.asarray(starts), jnp.asarray(n_valids),
-                self.s_dev, thr_int,
+                codes_dev, jnp.asarray(span_arr), self.s_dev, self._thr_cache[1],
                 k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
                 block=block, use_pallas=self.use_pallas,
             )
