@@ -180,38 +180,33 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "block", "use_pallas"))
-def _scan_batch_bitmap(codes_dev, spans, s_profile, thr_int, *, k, ws, r, chunk, block, use_pallas):
-    """Scan a batch of chunks; return (D, bitmap) with D device-resident.
+@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "use_pallas"))
+def _scan_span_bitmap(codes_dev, start, n_valid, s_profile, thr_int, *, k, ws, r, span, block, use_pallas):
+    """Scan one span of windows; return (D, bitmap) with D device-resident.
 
     Candidate extraction is latency-shaped for remote TPUs: the device
     returns only a tiny per-block activity bitmap (``any(D < thr)`` over
-    blocks of ``block`` windows - pure reductions, no sort/scatter, so it
-    compiles in seconds and runs at memory speed).  The full distance array
-    stays ON DEVICE; the host then fetches just the few active regions
-    around candidate runs.  Chunks are independent (no carry), so the batch
-    is a plain vmap.
+    blocks of ``block`` windows - pure reductions, no sort/scatter).  The
+    full distance array stays ON DEVICE; the host then fetches just the few
+    active regions around candidate runs.  One flat span per call keeps the
+    XLA graph small (the Pallas wrapper tiles internally), which matters on
+    toolchains where compile time grows with graph complexity.
     """
+    codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + ws - 1,))
+    if use_pallas:
+        from .scan_pallas import scan_window_distances_pallas
 
-    def one(span):
-        start, n_valid = span[0], span[1]
-        codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
-        if use_pallas:
-            from .scan_pallas import scan_window_distances_pallas
-
-            d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
-        else:
-            d = scan_window_distances(codes, s_profile, k, ws, r)
-        below = (d < thr_int[0]) & (jnp.arange(chunk) < n_valid)
-        bitmap = below.reshape(chunk // block, block).any(axis=1)
-        return d, bitmap
-
-    return jax.vmap(one)(spans)
+        d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
+    else:
+        d = scan_window_distances(codes, s_profile, k, ws, r)
+    below = (d < thr_int[0]) & (jnp.arange(span) < n_valid)
+    bitmap = below.reshape(span // block, block).any(axis=1)
+    return d, bitmap
 
 
 @partial(jax.jit, static_argnames=("length",))
-def _fetch_rows_slice(d_batch, row, offset, length: int):
-    return jax.lax.dynamic_slice(d_batch[row], (offset,), (length,))
+def _fetch_slice(d, offset, length: int):
+    return jax.lax.dynamic_slice(d, (offset,), (length,))
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -229,15 +224,19 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int = 1 << 19, cap: int = 1 << 12, use_pallas: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, cap: int = 1 << 12, use_pallas: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
+        if chunk_windows is None:
+            # big spans amortise host round trips on TPU; modest on CPU
+            chunk_windows = (1 << 25) if jax.default_backend() == "tpu" else (1 << 19)
         self.chunk = chunk_windows
         self.cap = cap
         self.block = 512  # bitmap granularity (windows per activity block)
-        self.max_batch_chunks = 256  # chunks per device call (bounds D residency)
+        self.lookahead = 4  # span calls in flight (bounds device D residency)
         self._thr_cache: tuple[float, object] | None = None
+        self._carry_edge = False
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -275,6 +274,7 @@ class ScanEngine:
         stream: list[tuple[int, float]] = []
         dist0 = None
         full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
+        self._carry_edge = False  # per-record rising-edge carry
 
         if codes_dev is None:
             codes_dev = self.prepare_codes(codes)
@@ -302,61 +302,55 @@ class ScanEngine:
                 host_prev_below = bool(d[t - 1] < thr_int)
             return float(full_dists[0]), stream, full_dists
 
-        # Bitmap-compacted path: per super-batch, one device call returns the
+        # Bitmap-compacted path: one device call per span returns the
         # distances (device-resident) plus a per-block activity bitmap; the
         # host fetches D only for active regions (plus their right
-        # neighbours, which cover every rising edge).
+        # neighbours, which cover every rising edge).  Span calls are
+        # launched in lookahead groups so their bitmaps arrive in ONE fetch
+        # - host round trips, not compute, bound throughput on remote TPUs.
         block = self.block
         nblocks = self.chunk // block
         segments: list[tuple[int, np.ndarray]] = []  # (global start, D values)
-        force_first_block = True  # window 0 (dist0) lives in the first block
 
-        for lo in range(0, len(spans), self.max_batch_chunks):
-            batch = spans[lo : lo + self.max_batch_chunks]
-            nb = _pow2_bucket(len(batch), self.max_batch_chunks)
-            span_arr = np.zeros((nb, 2), dtype=np.int32)  # pads scan 0 valid windows
-            for i, (s0, t) in enumerate(batch):
-                span_arr[i] = (s0, t)
-            # a single small H2D per batch; the threshold scalar is cached
-            # (every host<->device transfer is a full round trip on remote
-            # TPU relays)
-            if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
-                self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
-            d_dev, bitmap = _scan_batch_bitmap(
-                codes_dev, jnp.asarray(span_arr), self.s_dev, self._thr_cache[1],
-                k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
-                block=block, use_pallas=self.use_pallas,
-            )
-            bm = np.asarray(bitmap)[: len(batch)]  # (real chunks, nblocks)
+        if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
+            self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
+        thr_dev = self._thr_cache[1]
 
-            # active blocks + right-neighbour expansion (covers rising edges)
-            active = bm.copy()
-            active[:, 1:] |= bm[:, :-1]
-            carry = bm[:, -1]
-            for c in range(len(batch) - 1):
-                if carry[c]:
-                    active[c + 1, 0] = True
-            if force_first_block:
-                active[0, 0] = True
-                force_first_block = False
-            if carry[len(batch) - 1] and lo + len(batch) < len(spans):
-                force_first_block = True  # first block of next super-batch
+        for lo in range(0, len(spans), self.lookahead):
+            group = spans[lo : lo + self.lookahead]
+            handles = []
+            for s0, t in group:
+                d_dev, bitmap_dev = _scan_span_bitmap(
+                    codes_dev, np.int32(s0), np.int32(t), self.s_dev, thr_dev,
+                    k=self.k, ws=self.ws, r=self.r, span=self.chunk,
+                    block=block, use_pallas=self.use_pallas,
+                )
+                handles.append((s0, t, d_dev, bitmap_dev))
+            bms = np.asarray(jnp.stack([h[3] for h in handles]))  # one fetch
 
-            # merge per-row runs of active blocks into bucketed fetches
-            for c in range(len(batch)):
-                s0, t = batch[c]
+            for c, (s0, t, d_dev, _) in enumerate(handles):
+                bm = bms[c]
+                # active blocks + right-neighbour expansion (covers rising edges)
+                active = bm.copy()
+                active[1:] |= bm[:-1]
+                if s0 == 0:
+                    active[0] = True  # window 0 (dist0)
+                if s0 > 0 and self._carry_edge:
+                    active[0] = True
+                self._carry_edge = bool(bm[-1])
+
                 b = 0
                 while b < nblocks:
-                    if not active[c, b]:
+                    if not active[b]:
                         b += 1
                         continue
                     b_end = b
-                    while b_end + 1 < nblocks and active[c, b_end + 1]:
+                    while b_end + 1 < nblocks and active[b_end + 1]:
                         b_end += 1
                     need = (b_end - b + 1) * block
                     length = min(_pow2_bucket(need, self.chunk), self.chunk)
                     offset = min(b * block, self.chunk - length)
-                    vals = np.asarray(_fetch_rows_slice(d_dev, c, np.int32(offset), length))
+                    vals = np.asarray(_fetch_slice(d_dev, np.int32(offset), length))
                     limit = min(length, t - offset)
                     if limit > 0:
                         segments.append((s0 + offset, vals[:limit]))
