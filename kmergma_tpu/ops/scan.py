@@ -180,28 +180,42 @@ def _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas=False):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "use_pallas"))
-def _scan_span_bitmap(codes_dev, start, n_valid, s_profile, thr_int, *, k, ws, r, span, block, use_pallas):
-    """Scan one span of windows; return (D, bitmap) with D device-resident.
-
-    Candidate extraction is latency-shaped for remote TPUs: the device
-    returns only a tiny per-block activity bitmap (``any(D < thr)`` over
-    blocks of ``block`` windows - pure reductions, no sort/scatter).  The
-    full distance array stays ON DEVICE; the host then fetches just the few
-    active regions around candidate runs.  One flat span per call keeps the
-    XLA graph small (the Pallas wrapper tiles internally), which matters on
-    toolchains where compile time grows with graph complexity.
-    """
-    codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + ws - 1,))
+def _scan_span_d(codes, s_profile, k, ws, r, use_pallas):
     if use_pallas:
         from .scan_pallas import scan_window_distances_pallas
 
-        d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
-    else:
-        d = scan_window_distances(codes, s_profile, k, ws, r)
-    below = (d < thr_int[0]) & (jnp.arange(span) < n_valid)
-    bitmap = below.reshape(span // block, block).any(axis=1)
-    return d, bitmap
+        return scan_window_distances_pallas(codes, s_profile, k, ws, r)
+    return scan_window_distances(codes, s_profile, k, ws, r)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "n_spans", "use_pallas"))
+def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, span, block, n_spans, use_pallas):
+    """Scan a whole record (n_spans regular spans); return ONLY the activity
+    bitmaps (``any(D < thr)`` per ``block`` windows).
+
+    Latency-shaped for remote TPUs: one device call and one small fetch per
+    record, with zero per-span host scalars (span starts are computed on
+    device from the loop index).  Distances are NOT kept - the few active
+    regions are recomputed on demand (_scan_region_d), trading negligible
+    recompute for not holding or shipping O(genome) distance arrays.
+    """
+
+    def step(_, i):
+        start = i * span
+        codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + ws - 1,))
+        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+        below = (d < thr_int[0]) & (start + jnp.arange(span) < n_valid[0])
+        return _, below.reshape(span // block, block).any(axis=1)
+
+    _, bitmaps = jax.lax.scan(step, 0, jnp.arange(n_spans))
+    return bitmaps  # (n_spans, span // block)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "use_pallas"))
+def _scan_region_d(codes_dev, start, s_profile, *, k, ws, r, rspan, use_pallas):
+    """Recompute the scaled distances of one small region (hit fetch-back)."""
+    codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
+    return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("length",))
@@ -213,6 +227,31 @@ def _fetch_slice(d, offset, length: int):
 def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
     return _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas)
+
+
+@jax.jit
+def _unpack_codes(packed):
+    """uint8 (4 bases/byte, little-endian 2-bit fields) -> int8 codes."""
+    shifts = jnp.asarray([0, 2, 4, 6], dtype=jnp.uint8)
+    return ((packed[:, None] >> shifts[None, :]) & 3).astype(jnp.int8).reshape(-1)
+
+
+def _span_bucket(n: int) -> int:
+    """Round span counts up to {1, 1.5} x power-of-two (<= 33% padding waste)."""
+    b = 1
+    while b < n:
+        if b + b // 2 >= n:
+            return b + b // 2
+        b <<= 1
+    return b
+
+
+class PreparedCodes:
+    """A record's codes on device, padded for regular-span slicing."""
+
+    def __init__(self, dev, n_spans: int):
+        self.dev = dev
+        self.n_spans = n_spans
 
 
 class ScanEngine:
@@ -234,9 +273,8 @@ class ScanEngine:
         self.chunk = chunk_windows
         self.cap = cap
         self.block = 512  # bitmap granularity (windows per activity block)
-        self.lookahead = 4  # span calls in flight (bounds device D residency)
+        self.rspan = 1 << 16  # region-recompute granularity (hit fetch-back)
         self._thr_cache: tuple[float, object] | None = None
-        self._carry_edge = False
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -249,14 +287,26 @@ class ScanEngine:
         # comparison (extra candidates are no-ops in the replay).
         return np.int32(min(np.floor(thr * self.scale) + 2, 2**31 - 1))
 
-    def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None) -> jnp.ndarray:
-        """One H2D transfer of a record, padded for device-side chunk slicing.
+    def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None) -> PreparedCodes:
+        """One H2D transfer of a record, padded for regular-span slicing.
 
-        The returned array can be shared by several engines scanning the
-        same record (cluster mode) when padded for the largest windowsize.
+        Codes cross the host->device link packed 4 bases/byte (the link is
+        the throughput ceiling for genome-scale scans on remote TPUs) and
+        are unpacked on device.  The result can be shared by several
+        engines scanning the same record (cluster mode) when padded for the
+        largest windowsize; span counts are independent of ws by padding
+        ceil(n/span)+bucket spans.
         """
-        pad = self.chunk + (max_ws if max_ws is not None else self.ws) + 1
-        return jnp.asarray(np.pad(np.asarray(codes, dtype=np.int8), (0, pad)))
+        codes = np.asarray(codes, dtype=np.int8)
+        n = codes.shape[0]
+        n_spans = _span_bucket(max(1, -(-n // self.chunk)))
+        total = n_spans * self.chunk + (max_ws if max_ws is not None else self.ws) + 1
+        total = -(-total // 4) * 4
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[:n] = codes.view(np.uint8)
+        quads = padded.reshape(-1, 4)
+        packed = (quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)).astype(np.uint8)
+        return PreparedCodes(_unpack_codes(jnp.asarray(packed)), n_spans)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
         """Scan one record; return (dist0, stream, dists_or_None).
@@ -274,25 +324,18 @@ class ScanEngine:
         stream: list[tuple[int, float]] = []
         dist0 = None
         full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
-        self._carry_edge = False  # per-record rising-edge carry
-
         if codes_dev is None:
             codes_dev = self.prepare_codes(codes)
-
-        # Chunk boundaries (host side; chunks are independent on device).
-        spans = []
-        start = 0
-        while start < nw:
-            t = min(self.chunk, nw - start)
-            spans.append((start, t))
-            start += t
+        prep: PreparedCodes = codes_dev
 
         if collect_dists:
             host_prev_below = False
-            for start, t in spans:
+            start = 0
+            while start < nw:
+                t = min(self.chunk, nw - start)
                 d = np.asarray(
                     _scan_at_full(
-                        codes_dev, np.int32(start), self.s_dev,
+                        prep.dev, np.int32(start), self.s_dev,
                         k=self.k, ws=self.ws, r=self.r, chunk=self.chunk,
                         use_pallas=self.use_pallas,
                     )
@@ -300,61 +343,48 @@ class ScanEngine:
                 full_dists[start : start + t] = d / self.scale
                 self._stream_from_full(d, start, host_prev_below, thr_int, stream)
                 host_prev_below = bool(d[t - 1] < thr_int)
+                start += t
             return float(full_dists[0]), stream, full_dists
 
-        # Bitmap-compacted path: one device call per span returns the
-        # distances (device-resident) plus a per-block activity bitmap; the
-        # host fetches D only for active regions (plus their right
-        # neighbours, which cover every rising edge).  Span calls are
-        # launched in lookahead groups so their bitmaps arrive in ONE fetch
-        # - host round trips, not compute, bound throughput on remote TPUs.
-        block = self.block
-        nblocks = self.chunk // block
-        segments: list[tuple[int, np.ndarray]] = []  # (global start, D values)
-
+        # Bitmap path: ONE device call for the whole record returns only the
+        # per-block activity bitmaps (one small fetch); the host recomputes
+        # distances for the few active regions.  Zero per-span host scalars.
         if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         thr_dev = self._thr_cache[1]
 
-        for lo in range(0, len(spans), self.lookahead):
-            group = spans[lo : lo + self.lookahead]
-            handles = []
-            for s0, t in group:
-                d_dev, bitmap_dev = _scan_span_bitmap(
-                    codes_dev, np.int32(s0), np.int32(t), self.s_dev, thr_dev,
-                    k=self.k, ws=self.ws, r=self.r, span=self.chunk,
-                    block=block, use_pallas=self.use_pallas,
+        block = self.block
+        bitmaps = np.asarray(
+            _scan_record_bitmaps(
+                prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
+                k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=block,
+                n_spans=prep.n_spans, use_pallas=self.use_pallas,
+            )
+        ).reshape(-1)
+
+        # active blocks, expanded one block right (covers every rising edge)
+        active = bitmaps.copy()
+        active[1:] |= bitmaps[:-1]
+        active[0] = True  # window 0 (dist0)
+
+        # bin expanded blocks into fetch regions and recompute each once
+        rspan = min(self.chunk, self.rspan)
+        blocks_per_region = max(1, rspan // block)
+        regions = np.unique(np.nonzero(active)[0] // blocks_per_region)
+        segments: list[tuple[int, np.ndarray]] = []
+        for rg in regions:
+            start = int(rg) * rspan
+            if start >= nw:
+                continue
+            d = np.asarray(
+                _scan_region_d(
+                    prep.dev, np.int32(start), self.s_dev,
+                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                    use_pallas=self.use_pallas,
                 )
-                handles.append((s0, t, d_dev, bitmap_dev))
-            bms = np.asarray(jnp.stack([h[3] for h in handles]))  # one fetch
-
-            for c, (s0, t, d_dev, _) in enumerate(handles):
-                bm = bms[c]
-                # active blocks + right-neighbour expansion (covers rising edges)
-                active = bm.copy()
-                active[1:] |= bm[:-1]
-                if s0 == 0:
-                    active[0] = True  # window 0 (dist0)
-                if s0 > 0 and self._carry_edge:
-                    active[0] = True
-                self._carry_edge = bool(bm[-1])
-
-                b = 0
-                while b < nblocks:
-                    if not active[b]:
-                        b += 1
-                        continue
-                    b_end = b
-                    while b_end + 1 < nblocks and active[b_end + 1]:
-                        b_end += 1
-                    need = (b_end - b + 1) * block
-                    length = min(_pow2_bucket(need, self.chunk), self.chunk)
-                    offset = min(b * block, self.chunk - length)
-                    vals = np.asarray(_fetch_slice(d_dev, np.int32(offset), length))
-                    limit = min(length, t - offset)
-                    if limit > 0:
-                        segments.append((s0 + offset, vals[:limit]))
-                    b = b_end + 1
+            )
+            limit = min(rspan, nw - start)
+            segments.append((start, d[:limit]))
 
         # Assemble the exact candidate stream from the fetched segments.
         gidx = np.concatenate([np.arange(g, g + v.shape[0]) for g, v in segments])
