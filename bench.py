@@ -4,12 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the reference's published ~40 Mbp/s single-core figure
 (ref /root/reference/README.md:50, BASELINE.md).
 
-The benchmark scans a synthetic random genome (default 64 Mbp, override via
-BENCH_MBP) against the real 84-record V-gene reference profile (k=6,
-ws=289) - the exact findGenes configuration - using the production
-ScanEngine (tiled exact-integer scan + candidate compaction + minima
-replay).  Timing covers the full mine: host orchestration, device scan,
-candidate transfer and state-machine replay.
+Scans a synthetic random genome (default 256 Mbp, override via BENCH_MBP)
+against the real 84-record V-gene reference profile (k=6, ws=289) - the
+exact findGenes configuration - using the production ScanEngine (packed
+H2D, one bitmap call per record, exact candidate stream + minima replay).
+Timing covers the full mine: host orchestration, transfers, device scan,
+candidate fetch-back and state-machine replay.
+
+A persistent compilation cache (.jax_cache) makes warmup fast after the
+first-ever run on a machine; the first run pays one-time remote compiles.
 """
 
 import json
@@ -21,13 +24,17 @@ import numpy as np
 
 
 def main() -> None:
-    n_mbp = float(os.environ.get("BENCH_MBP", "64"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    n_mbp = float(os.environ.get("BENCH_MBP", "256"))
     n_bp = int(n_mbp * 1e6)
 
-    from kmergma_tpu.models.miner import mine_genome
     from kmergma_tpu.ops.reference import gen_ref_ws_cons
     from kmergma_tpu.ops.scan import ScanEngine
-    from kmergma_tpu.utils.fasta import FastaRecord
+    from kmergma_tpu.models.state_machine import replay_single
 
     here = os.path.dirname(os.path.abspath(__file__))
     profile = gen_ref_ws_cons(os.path.join(here, "tests/data/Alp_V_ref.fasta"), 6)
@@ -36,18 +43,23 @@ def main() -> None:
     rng = np.random.default_rng(42)
     codes = rng.integers(0, 4, n_bp, dtype=np.int8)
 
-    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
+    chunk_env = os.environ.get("BENCH_CHUNK")
     engine = ScanEngine(
         profile.sum_kfv, k=profile.k, ws=profile.windowsize, r=profile.n_records,
-        chunk_windows=chunk,
+        **({"chunk_windows": int(chunk_env)} if chunk_env else {}),
     )
 
-    # Warmup: compile all chunk buckets on a small prefix.
-    engine.record_stream(codes[: engine.chunk + profile.windowsize], thr)
+    # Warmup compiles all shapes on a small prefix + the full size class.
+    warm_bp = min(n_bp, engine.chunk + profile.windowsize)
+    engine.record_stream(codes[:warm_bp], thr)
+    t0 = time.perf_counter()
+    engine.record_stream(codes, thr)  # may still pay one first-time compile
+    first = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     dist0, stream, _ = engine.record_stream(codes, thr)
     elapsed = time.perf_counter() - t0
+    hits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, n_bp, 50)
 
     mbps = n_bp / elapsed / 1e6
     print(
@@ -61,7 +73,8 @@ def main() -> None:
         )
     )
     print(
-        f"# {n_mbp:.0f} Mbp in {elapsed:.2f}s; {len(stream)} candidate windows; dist0={dist0:.2f}",
+        f"# {n_mbp:.0f} Mbp in {elapsed:.2f}s (first pass {first:.2f}s); "
+        f"{len(stream)} candidates, {len(hits)} hits; dist0={dist0:.2f}",
         file=sys.stderr,
     )
 

@@ -229,6 +229,23 @@ def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     return _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas)
 
 
+def _with_retry(fn, attempts: int = 2, delay_s: float = 5.0):
+    """Failure detection for remote-TPU transport errors (SURVEY.md 5.3):
+    retry a device call once on a runtime error before surfacing it.  The
+    scan is stateless per call, so a retry is always safe."""
+    import time as _time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - env specific
+            last = e
+            if attempt + 1 < attempts:
+                _time.sleep(delay_s)
+    raise last
+
+
 @jax.jit
 def _unpack_codes(packed):
     """uint8 (4 bases/byte, little-endian 2-bit fields) -> int8 codes."""
@@ -354,11 +371,13 @@ class ScanEngine:
         thr_dev = self._thr_cache[1]
 
         block = self.block
-        bitmaps = np.asarray(
-            _scan_record_bitmaps(
-                prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
-                k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=block,
-                n_spans=prep.n_spans, use_pallas=self.use_pallas,
+        bitmaps = _with_retry(
+            lambda: np.asarray(
+                _scan_record_bitmaps(
+                    prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
+                    k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=block,
+                    n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                )
             )
         ).reshape(-1)
 
@@ -376,11 +395,13 @@ class ScanEngine:
             start = int(rg) * rspan
             if start >= nw:
                 continue
-            d = np.asarray(
-                _scan_region_d(
-                    prep.dev, np.int32(start), self.s_dev,
-                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                    use_pallas=self.use_pallas,
+            d = _with_retry(
+                lambda: np.asarray(
+                    _scan_region_d(
+                        prep.dev, np.int32(start), self.s_dev,
+                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                        use_pallas=self.use_pallas,
+                    )
                 )
             )
             limit = min(rspan, nw - start)
