@@ -317,7 +317,10 @@ class ScanEngine:
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
         n_spans = _span_bucket(max(1, -(-n // self.chunk)))
-        total = n_spans * self.chunk + (max_ws if max_ws is not None else self.ws) + 1
+        # headroom for region-recompute slices near the record end: a region
+        # may start just below nw and extend rspan windows (dynamic_slice
+        # would otherwise clamp and silently misattribute windows)
+        total = n_spans * self.chunk + self.rspan + (max_ws if max_ws is not None else self.ws) + 1
         total = -(-total // 4) * 4
         padded = np.zeros(total, dtype=np.uint8)
         padded[:n] = codes.view(np.uint8)

@@ -1,0 +1,70 @@
+"""Regression tests for scan boundary conditions: candidates at the very
+end of a record must not be misattributed by region-slice clamping."""
+
+import numpy as np
+
+from kmergma_tpu.models.state_machine import candidate_stream_from_dists, replay_single
+from kmergma_tpu.ops.scan import ScanEngine, scan_window_distances_np
+
+
+def _oracle_stream(codes, s, k, ws, r, thr_scaled):
+    d = scan_window_distances_np(codes, s, k, ws, r).astype(np.float64)
+    scale = 2.0 * k * r * r
+    return d[0] / scale, list(candidate_stream_from_dists(d / scale, thr_scaled / scale))
+
+
+def test_candidates_at_record_end():
+    """Force sub-threshold windows in the last few windows of the record
+    (worst case for region fetch-back near nw)."""
+    rng = np.random.default_rng(3)
+    k, ws, r = 6, 97, 5
+    motif = rng.integers(0, 4, ws, dtype=np.int8)
+    n = 3000
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    codes[n - ws :] = motif  # strong match ending exactly at the last window
+    from kmergma_tpu.ops.kmers import rolling_kmer_codes
+
+    # profile = r * spectrum of the motif (so the final window distance = 0)
+    spec = (np.bincount(rolling_kmer_codes(motif, k), minlength=4**k) * r).astype(np.int64)
+
+    engine = ScanEngine(spec, k=k, ws=ws, r=r, chunk_windows=1024)
+    thr = 5.0
+    d0, stream, _ = engine.record_stream(codes, thr)
+
+    scale = 2.0 * k * r * r
+    d_full = scan_window_distances_np(codes, spec, k, ws, r).astype(np.float64) / scale
+    expected = replay_single(
+        candidate_stream_from_dists(d_full, thr), d_full[0], thr, k, ws, n, buff=5
+    )
+    got = replay_single(stream, d0, thr, k, ws, n, buff=5)
+    assert [(h.cmi, h.dist) for h in got] == [(h.cmi, h.dist) for h in expected]
+    # the terminal run is truncated by the record end (no rising edge), so
+    # verify the stream itself contains the final below-threshold windows
+    last_below = [j for j, v in stream if v < thr]
+    assert last_below and max(last_below) == n - ws  # last window index
+
+
+def test_candidate_exactly_at_span_boundary():
+    rng = np.random.default_rng(9)
+    k, ws, r = 6, 97, 4
+    motif = rng.integers(0, 4, ws, dtype=np.int8)
+    n = 4000
+    chunk = 1024
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    # place a match so its window minimum lands exactly at window index 1024
+    codes[chunk : chunk + ws] = motif
+    from kmergma_tpu.ops.kmers import rolling_kmer_codes
+
+    spec = (np.bincount(rolling_kmer_codes(motif, k), minlength=4**k) * r).astype(np.int64)
+    engine = ScanEngine(spec, k=k, ws=ws, r=r, chunk_windows=chunk)
+    thr = 5.0
+    d0, stream, _ = engine.record_stream(codes, thr)
+
+    scale = 2.0 * k * r * r
+    d_full = scan_window_distances_np(codes, spec, k, ws, r).astype(np.float64) / scale
+    expected = replay_single(
+        candidate_stream_from_dists(d_full, thr), d_full[0], thr, k, ws, n, buff=5
+    )
+    got = replay_single(stream, d0, thr, k, ws, n, buff=5)
+    assert [(h.cmi, h.dist) for h in got] == [(h.cmi, h.dist) for h in expected]
+    assert len(got) == 1
