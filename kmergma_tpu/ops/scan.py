@@ -248,9 +248,16 @@ def _with_retry(fn, attempts: int = 2, delay_s: float = 5.0):
 
 @jax.jit
 def _unpack_codes(packed):
-    """uint8 (4 bases/byte, little-endian 2-bit fields) -> int8 codes."""
-    shifts = jnp.asarray([0, 2, 4, 6], dtype=jnp.uint8)
-    return ((packed[:, None] >> shifts[None, :]) & 3).astype(jnp.int8).reshape(-1)
+    """uint8 (4 bases/byte, QUARTER-wise fields) -> int8 codes.
+
+    Byte b packs code b of each genome quarter in its four 2-bit fields, so
+    unpacking is a concat of four 1D shifted views - no interleave, no
+    tiny-minor-dimension layouts (a (n, 4) int8 intermediate pads 32x on
+    TPU tiling and OOMs at genome scale).
+    """
+    return jnp.concatenate(
+        [((packed >> (2 * j)) & 3).astype(jnp.int8) for j in range(4)]
+    )
 
 
 def _span_bucket(n: int) -> int:
@@ -324,8 +331,8 @@ class ScanEngine:
         total = -(-total // 4) * 4
         padded = np.zeros(total, dtype=np.uint8)
         padded[:n] = codes.view(np.uint8)
-        quads = padded.reshape(-1, 4)
-        packed = (quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)).astype(np.uint8)
+        q = padded.reshape(4, total // 4)  # quarter-wise fields (see _unpack_codes)
+        packed = (q[0] | (q[1] << 2) | (q[2] << 4) | (q[3] << 6)).astype(np.uint8)
         return PreparedCodes(_unpack_codes(jnp.asarray(packed)), n_spans)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
