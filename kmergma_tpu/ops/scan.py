@@ -100,24 +100,6 @@ def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws
     return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
 
 
-def _pow2_bucket(n: int, cap: int) -> int:
-    """Smallest power of two >= n (bounded by cap) - keeps jit shape variants few."""
-    b = 1
-    while b < n:
-        b <<= 1
-    return min(b, cap)
-
-
-def scaled_threshold(thr: float, k: int, r: int) -> float:
-    """Map a user-space distance threshold into the scaled-integer domain."""
-    return float(thr) * (2 * k * r * r)
-
-
-def distances_from_scaled(d: np.ndarray, k: int, r: int) -> np.ndarray:
-    """Exact float64 distances from scaled-integer D (host side)."""
-    return np.asarray(d, dtype=np.float64) / (2 * k * r * r)
-
-
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
     """Guard the exact-integer path against int32 overflow.
 
@@ -133,42 +115,6 @@ def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None
             f"scaled-integer scan would overflow int32 (bound {bound:.3g}); "
             "reduce the reference set size or window, or use the float64 host path"
         )
-
-
-@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "use_pallas"))
-def _scan_chunk_compact(codes, s_profile, prev_below, n_valid, thr_int, k, ws, r, cap, use_pallas=False):
-    """One tile of the scan with on-device candidate compaction.
-
-    Returns (d_first, count, idx, vals, last_below): the tile's first-window
-    scaled distance, the number of candidate windows (below threshold or
-    immediately after one - the exact support of the host state-machine
-    replay), their local indices/values (first ``cap`` of them), and whether
-    the tile's last valid window is below threshold (seeds the next tile's
-    rising-edge detection).
-    """
-    if use_pallas:
-        from .scan_pallas import scan_window_distances_pallas
-
-        d = scan_window_distances_pallas(codes, s_profile, k, ws, r)
-    else:
-        d = scan_window_distances(codes, s_profile, k, ws, r)
-    t = d.shape[0]
-    valid = jnp.arange(t) < n_valid
-    below = (d < thr_int) & valid
-    prevb = jnp.concatenate([prev_below[None], below[:-1]])
-    mask = (below | prevb) & valid
-    # top_k-based compaction: scores rank masked indices earliest-first
-    # (jnp.nonzero's scatter-based lowering compiles poorly on some TPU
-    # toolchains; top_k is a single well-supported HLO).
-    score = jnp.where(mask, t - jnp.arange(t, dtype=jnp.int32), 0)
-    top, _ = jax.lax.top_k(score, min(cap, t))
-    if cap > t:
-        top = jnp.pad(top, (0, cap - t))
-    idx = jnp.where(top > 0, t - top, 0)
-    vals = d[idx]
-    count = mask.sum()
-    last_below = jnp.take(below, n_valid - 1)
-    return d[0], count, idx.astype(jnp.int32), vals, last_below
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "use_pallas"))
@@ -216,11 +162,6 @@ def _scan_region_d(codes_dev, start, s_profile, *, k, ws, r, rspan, use_pallas):
     """Recompute the scaled distances of one small region (hit fetch-back)."""
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
     return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
-
-
-@partial(jax.jit, static_argnames=("length",))
-def _fetch_slice(d, offset, length: int):
-    return jax.lax.dynamic_slice(d, (offset,), (length,))
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -287,7 +228,7 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, cap: int = 1 << 12, use_pallas: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
@@ -295,7 +236,6 @@ class ScanEngine:
             # big spans amortise host round trips on TPU; modest on CPU
             chunk_windows = (1 << 25) if jax.default_backend() == "tpu" else (1 << 19)
         self.chunk = chunk_windows
-        self.cap = cap
         self.block = 512  # bitmap granularity (windows per activity block)
         self.rspan = 1 << 16  # region-recompute granularity (hit fetch-back)
         self._thr_cache: tuple[float, object] | None = None
