@@ -122,12 +122,43 @@ def _looks_like_path(x) -> bool:
     return isinstance(x, (str, bytes)) and os.path.exists(x)
 
 
+def match_starts_engine(sub: bytes, q: bytes) -> np.ndarray:
+    """Exact occurrences via the production scan engine.
+
+    The query's k-mer spectrum is used as a profile with R=1 and ws=|q|:
+    a window has scaled distance 0 iff its spectrum equals the query's.
+    Since window and query spectra have equal mass, the minimum nonzero
+    distance is 2, so thresholding D < 2 yields exactly the anagram
+    windows - a tiny candidate set that is then byte-verified.  This rides
+    the latency-shaped bitmap scan (one device call + tiny fetches), unlike
+    a naive per-shift comparison loop.
+    """
+    from ..consts import encode_seq
+    from ..ops.kmers import rolling_kmer_codes
+    from .scan import ScanEngine
+
+    qlen = len(q)
+    k = min(6, qlen)
+    ws = qlen
+    qcodes = encode_seq(q)
+    spec = np.bincount(rolling_kmer_codes(qcodes, k), minlength=4**k).astype(np.int64)
+    engine = ScanEngine(spec, k=k, ws=ws, r=1)
+    sub_codes = encode_seq(sub)
+    scale = engine.scale
+    thr = 1.5 / scale  # captures D in {0, 1} exactly (D=1 is impossible)
+    dist0, stream, _ = engine.record_stream(sub_codes, thr)
+    cand = [0] if dist0 * scale < 2 else []
+    cand += [j for j, v in stream if v * scale < 2]
+    out = [s for s in cand if sub[s : s + qlen] == q]
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
 def _match_one(q: bytes, sub: bytes, overlap: bool, use_device: bool | None):
     if len(sub) < len(q):
         return None
     if use_device is None:
         use_device = len(sub) >= _DEVICE_MIN
-    starts = match_starts_jnp(sub, q) if use_device else match_starts_np(sub, q)
+    starts = match_starts_engine(sub, q) if use_device else match_starts_np(sub, q)
     if starts.size == 0:
         return None
     return _ranges(starts, len(q), overlap)

@@ -47,6 +47,21 @@ def test_device_scan_matches_host():
     assert starts.tolist() == match_starts_np(sub, b"GAG").tolist()
 
 
+def test_engine_exact_match_matches_host(test_genome):
+    """The spectrum-anagram engine path must find exactly the true matches."""
+    from kmergma_tpu.ops.exact_match import match_starts_engine, match_starts_np
+    from kmergma_tpu.utils.fasta import read_fasta
+
+    rec = next(read_fasta(test_genome))
+    sub = rec.seq.upper()
+    q = sub[20000:20030]  # real 30-mer from the genome
+    assert match_starts_engine(sub, q).tolist() == match_starts_np(sub, q).tolist()
+    # anagram-but-not-match control: shuffled query must yield only its own
+    # true occurrences (usually none)
+    qq = q[::-1]
+    assert match_starts_engine(sub, qq).tolist() == match_starts_np(sub, qq).tolist()
+
+
 def test_first_match(ref_fasta):
     out = first_match(ref_fasta, "AAATT")
     assert ("AM773729|IGHV1-1*01|Vicugna", (174, 178)) in out
