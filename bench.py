@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the reference's published ~40 Mbp/s single-core figure
 (ref /root/reference/README.md:50, BASELINE.md).
 
-Scans a synthetic random genome (default 256 Mbp, override via BENCH_MBP)
+Scans a synthetic random genome (default 128 Mbp, override via BENCH_MBP)
 against the real 84-record V-gene reference profile (k=6, ws=289) - the
 exact findGenes configuration - using the production ScanEngine (packed
 H2D, one bitmap call per record, exact candidate stream + minima replay).
@@ -29,7 +29,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    n_mbp = float(os.environ.get("BENCH_MBP", "256"))
+    n_mbp = float(os.environ.get("BENCH_MBP", "128"))
     n_bp = int(n_mbp * 1e6)
 
     from kmergma_tpu.ops.reference import gen_ref_ws_cons
