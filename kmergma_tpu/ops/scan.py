@@ -52,6 +52,35 @@ def rolling_kmer_codes_jnp(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return out
 
 
+def profile_lookup(kcodes: jnp.ndarray, s_profile: jnp.ndarray) -> jnp.ndarray:
+    """g[i] = S[K[i]] without a gather.
+
+    TPU gathers of genome-length index streams are ~25x slower than the
+    arithmetic throughput of everything around them, so on TPU the 4^k table
+    is reshaped to (2^k, 2^k) and the lookup becomes a one-hot (n, 2^k) @
+    (2^k, 2^k) MXU matmul (row select) followed by a fused one-hot column
+    select.  Every product is 0/1 * S[v] and each sum has exactly one
+    non-zero term, so f32 is exact for |S| < 2^24 - guaranteed far more
+    headroom than check_int32_headroom already requires (||S||^2 < 2^31).
+    """
+    nbins = s_profile.shape[0]
+    if jax.default_backend() != "tpu":
+        return jnp.take(s_profile, kcodes)
+    half = 1 << (nbins.bit_length() // 2)
+    if half * half != nbins or half > 512:
+        return jnp.take(s_profile, kcodes)
+    hi = (kcodes // half).astype(jnp.int32)
+    lo = (kcodes % half).astype(jnp.int32)
+    table = s_profile.reshape(half, half).astype(jnp.float32)
+    ar = jnp.arange(half, dtype=jnp.int32)
+    oh = (hi[:, None] == ar[None, :]).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+    sel = (lo[:, None] == ar[None, :]).astype(jnp.float32)
+    return jnp.sum(rows * sel, axis=1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r"))
 def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws: int, r: int) -> jnp.ndarray:
     """Exact scaled window distances D[s] for every window start s in [0, n-ws].
@@ -67,7 +96,7 @@ def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws
     w = ws - k + 1  # k-mers per window
     nw = n - ws + 1  # number of windows
     kcodes = rolling_kmer_codes_jnp(codes, k)
-    g = jnp.take(s_profile, kcodes)  # S[K[i]]
+    g = profile_lookup(kcodes, s_profile)  # S[K[i]]
 
     # First-window scaled distance, computed directly.
     c0 = jax.ops.segment_sum(
@@ -98,6 +127,68 @@ def scan_window_distances(codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws
     r2 = jnp.int32(2 * r * r)
     delta = r2 * (kl != kr) + r2 * (a - b) + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
     return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
+
+
+def _lower_bound_base(kcodes, g, s_profile, w: int, r: int, depth: int):
+    """L[0] = r^2 (w + 2 P̂_0) - 2 r G_0 + ||S||^2 (shared by XLA and Pallas paths).
+
+    P̂_0 counts the first window's equal-k-mer pairs at partner distance
+    <= depth; G_0 is the window's profile-projection sum.  All int32 (the
+    headroom guard bounds every term).
+    """
+    k0 = kcodes[:w]
+    idx = jnp.arange(w, dtype=jnp.int32)
+
+    def body(d, acc):
+        return acc + jnp.sum(
+            ((jnp.roll(k0, -d) == k0) & (idx < w - d)).astype(jnp.int32)
+        )
+
+    p0 = jax.lax.fori_loop(1, depth + 1, body, jnp.int32(0))
+    g0 = jnp.sum(g[:w])
+    s2 = jnp.sum(s_profile * s_profile)
+    return jnp.int32(r * r) * (jnp.int32(w) + 2 * p0) - jnp.int32(2 * r) * g0 + s2
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth"))
+def scan_window_lower_bounds(
+    codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws: int, r: int, depth: int
+) -> jnp.ndarray:
+    """Certified scaled lower bounds L[p] <= D[p] for every window.
+
+    Counts only equal-k-mer pairs whose in-window distance is <= ``depth``
+    (P̂_p <= P_p), so with ||c_p||^2 = W + 2 P_p:
+
+        L[p] = r^2 (W + 2 P̂_p) - 2 r (c_p . S) + ||S||^2  <=  D[p]
+
+    with equality at depth = W - 1.  D < thr implies L < thr, so a bitmap
+    built from L flags a superset of the exact pass at O(depth)/bp instead
+    of O(W)/bp; flagged regions are then recomputed exactly.
+    """
+    n = codes.shape[0]
+    w = ws - k + 1
+    nw = n - ws + 1
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    g = profile_lookup(kcodes, s_profile)
+    l0 = _lower_bound_base(kcodes, g, s_profile, w, r, depth)
+    if nw <= 1:
+        return l0[None]
+
+    kl = kcodes[: nw - 1]
+    kr = kcodes[w : w + nw - 1]
+
+    def body(d, ab):
+        a, b = ab
+        # pairs gained by the entering k-mer at partner distance d
+        a = a + (jax.lax.dynamic_slice(kcodes, (w - d,), (nw - 1,)) == kr)
+        # pairs lost by the leaving k-mer at partner distance d
+        b = b + (jax.lax.dynamic_slice(kcodes, (d,), (nw - 1,)) == kl)
+        return a, b
+
+    zero = jnp.zeros_like(kl)
+    a, b = jax.lax.fori_loop(1, depth + 1, body, (zero, zero))
+    delta = jnp.int32(2 * r * r) * (a - b) + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
+    return jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
 
 
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
@@ -134,8 +225,19 @@ def _scan_span_d(codes, s_profile, k, ws, r, use_pallas):
     return scan_window_distances(codes, s_profile, k, ws, r)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "n_spans", "use_pallas"))
-def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, span, block, n_spans, use_pallas):
+def _scan_span_bound(codes, s_profile, k, ws, r, depth, use_pallas):
+    """Span distances (depth None) or certified lower bounds (depth set)."""
+    if depth is None:
+        return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+    if use_pallas:
+        from .scan_pallas import scan_window_lower_bounds_pallas
+
+        return scan_window_lower_bounds_pallas(codes, s_profile, k, ws, r, depth)
+    return scan_window_lower_bounds(codes, s_profile, k, ws, r, depth)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "n_spans", "use_pallas", "depth"))
+def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, span, block, n_spans, use_pallas, depth=None):
     """Scan a whole record (n_spans regular spans); return ONLY the activity
     bitmaps (``any(D < thr)`` per ``block`` windows).
 
@@ -144,12 +246,16 @@ def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, sp
     device from the loop index).  Distances are NOT kept - the few active
     regions are recomputed on demand (_scan_region_d), trading negligible
     recompute for not holding or shipping O(genome) distance arrays.
+
+    With ``depth`` set, the pass computes certified lower bounds L <= D at
+    O(depth)/bp instead of exact distances at O(W)/bp; the bitmap is then a
+    superset of the exact one (safe: the region recompute is always exact).
     """
 
     def step(_, i):
         start = i * span
         codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + ws - 1,))
-        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+        d = _scan_span_bound(codes, s_profile, k, ws, r, depth, use_pallas)
         below = (d < thr_int[0]) & (start + jnp.arange(span) < n_valid[0])
         return _, below.reshape(span // block, block).any(axis=1)
 
@@ -162,6 +268,22 @@ def _scan_region_d(codes_dev, start, s_profile, *, k, ws, r, rspan, use_pallas):
     """Recompute the scaled distances of one small region (hit fetch-back)."""
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
     return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
+def _scan_regions_d(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Exact distances for a batch of regions in ONE device call.
+
+    ``starts`` is padded to the static ``n_regions`` bucket (pad entries
+    repeat start 0, deduped on host).  ``lax.map`` compiles the region body
+    once and runs it sequentially on device - no per-region host round trip.
+    """
+
+    def one(start):
+        codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
+        return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+
+    return jax.lax.map(one, starts)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -228,10 +350,16 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
+        # Bitmap passes use certified lower bounds at this pair depth
+        # (None = exact distances).  Equality holds at depth = W - 1, so
+        # clamping keeps short windows exact.
+        if bound_depth is not None:
+            bound_depth = min(bound_depth, ws - k)
+        self.bound_depth = bound_depth
         if chunk_windows is None:
             # big spans amortise host round trips on TPU; modest on CPU
             chunk_windows = (1 << 25) if jax.default_backend() == "tpu" else (1 << 19)
@@ -327,6 +455,7 @@ class ScanEngine:
                     prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
                     k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=block,
                     n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                    depth=self.bound_depth,
                 )
             )
         ).reshape(-1)
@@ -340,20 +469,21 @@ class ScanEngine:
         rspan = min(self.chunk, self.rspan)
         blocks_per_region = max(1, rspan // block)
         regions = np.unique(np.nonzero(active)[0] // blocks_per_region)
-        segments: list[tuple[int, np.ndarray]] = []
-        for rg in regions:
-            start = int(rg) * rspan
-            if start >= nw:
-                continue
-            d = _with_retry(
-                lambda: np.asarray(
-                    _scan_region_d(
-                        prep.dev, np.int32(start), self.s_dev,
-                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                        use_pallas=self.use_pallas,
-                    )
+        starts = [int(rg) * rspan for rg in regions if int(rg) * rspan < nw]
+        n_regions = _span_bucket(len(starts))
+        starts_pad = np.zeros(n_regions, dtype=np.int32)
+        starts_pad[: len(starts)] = starts
+        ds = _with_retry(
+            lambda: np.asarray(
+                _scan_regions_d(
+                    prep.dev, jnp.asarray(starts_pad), self.s_dev,
+                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                    n_regions=n_regions, use_pallas=self.use_pallas,
                 )
             )
+        )
+        segments: list[tuple[int, np.ndarray]] = []
+        for start, d in zip(starts, ds):
             limit = min(rspan, nw - start)
             segments.append((start, d[:limit]))
 

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan import rolling_kmer_codes_jnp
+from .scan import profile_lookup, rolling_kmer_codes_jnp
 
 ROWS = 8  # tiles per grid step = sublane count for int32
 
@@ -70,6 +70,59 @@ def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
 
     a, b, _, _ = jax.lax.fori_loop(1, w + 1, body, (zero, zero, ka0, k_all))
     ab_ref[:, :] = a - b
+
+
+def _pair_counts_kernel(k_ref, ab_ref, *, w: int, t: int, depth: int):
+    """Partial-depth variant: net pair-match delta at depths 1..depth only.
+
+    ab[p] = sum_{d=1..depth} eq(K[p+W-d], K[p+W]) - eq(K[p+d], K[p])
+
+    i.e. pairs gained by the entering k-mer minus pairs lost by the leaving
+    k-mer, counting only partner distances <= depth.  Cumulating these gives
+    the exact partial pair count P̂_p <= P_p, hence a certified LOWER bound
+    on the window distance (see ops.scan.scan_window_lower_bounds).  Same
+    roll-by-±1 structure as _match_counts_kernel; the rolls stay < w so the
+    compared lanes are never contaminated by wraparound.
+    """
+    k_all = k_ref[:, :]
+    kl = k_all[:, :t]
+    kr = k_all[:, w : w + t]
+
+    ka0 = jnp.roll(k_all, -(w - 1), axis=1)  # offset w-1 = depth d=1 partner of kr
+    kb0 = jnp.roll(k_all, -1, axis=1)  # offset 1 = depth d=1 partner of kl
+    zero = jnp.zeros((ROWS, t), dtype=jnp.int32)
+
+    def body(d, carry):
+        a, b, ka, kb = carry
+        a = a + (ka[:, :t] == kr).astype(jnp.int32)
+        b = b + (kb[:, :t] == kl).astype(jnp.int32)
+        return a, b, jnp.roll(ka, 1, axis=1), jnp.roll(kb, -1, axis=1)
+
+    a, b, _, _ = jax.lax.fori_loop(1, depth + 1, body, (zero, zero, ka0, kb0))
+    ab_ref[:, :] = a - b
+
+
+@partial(jax.jit, static_argnames=("w", "t", "depth", "interpret"))
+def pair_counts(tiles_k: jnp.ndarray, w: int, t: int, depth: int, interpret: bool | None = None):
+    """Partial-depth net pair-match deltas per transition, per tile.
+
+    tiles_k: (n_tiles, t + w) int32 k-mer codes (n_tiles a multiple of ROWS).
+    Returns (n_tiles, t) int32.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_tiles = tiles_k.shape[0]
+    grid = (n_tiles // ROWS,)
+    return pl.pallas_call(
+        partial(_pair_counts_kernel, w=w, t=t, depth=depth),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, t + w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles_k)
 
 
 @partial(jax.jit, static_argnames=("w", "t", "interpret"))
@@ -113,7 +166,7 @@ def scan_window_distances_pallas(
     nw = n - ws + 1
     t = tile_windows
     kcodes = rolling_kmer_codes_jnp(codes, k)
-    g = jnp.take(s_profile, kcodes)
+    g = profile_lookup(kcodes, s_profile)
 
     n_tiles = -(-nw // t)
     n_tiles_pad = -(-n_tiles // ROWS) * ROWS
@@ -141,3 +194,46 @@ def scan_window_distances_pallas(
     diff0 = r * c0 - s_profile
     d0 = jnp.sum(diff0 * diff0)
     return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret"))
+def scan_window_lower_bounds_pallas(
+    codes: jnp.ndarray,
+    s_profile: jnp.ndarray,
+    k: int,
+    ws: int,
+    r: int,
+    depth: int,
+    tile_windows: int = 2048,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas-backed certified lower bounds L[p] <= D[p] at partial depth.
+
+    Bit-identical to ops.scan.scan_window_lower_bounds; used by the bitmap
+    (pruning) pass, where only a conservative ``any(D < thr)`` test is
+    needed.  Cost is O(depth)/bp instead of O(W)/bp."""
+    n = codes.shape[0]
+    w = ws - k + 1
+    nw = n - ws + 1
+    t = tile_windows
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    g = profile_lookup(kcodes, s_profile)
+
+    n_tiles = -(-nw // t)
+    n_tiles_pad = -(-n_tiles // ROWS) * ROWS
+    kcodes_pad = jnp.pad(kcodes, (0, n_tiles_pad * t + w - kcodes.shape[0]))
+
+    def take_tile(i):
+        return jax.lax.dynamic_slice(kcodes_pad, (i * t,), (t + w,))
+
+    tiles_k = jax.vmap(take_tile)(jnp.arange(n_tiles_pad))
+    ab = pair_counts(tiles_k, w, t, depth, interpret=interpret).reshape(-1)
+
+    r2 = jnp.int32(2 * r * r)
+    delta = r2 * ab[: nw - 1] + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
+
+    # L[0] = r^2 (w + 2 P̂_0) - 2 r G_0 + ||S||^2
+    from .scan import _lower_bound_base
+
+    l0 = _lower_bound_base(kcodes, g, s_profile, w, r, depth)
+    return jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])

@@ -1,0 +1,98 @@
+"""Stage-by-stage timing of the production scan on the real TPU."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from kmergma_tpu.ops.reference import gen_ref_ws_cons
+from kmergma_tpu.ops import scan as S
+from kmergma_tpu.ops import scan_pallas as SP
+
+here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+profile = gen_ref_ws_cons(os.path.join(here, "tests/data/Alp_V_ref.fasta"), 6)
+k, ws, r = profile.k, profile.windowsize, profile.n_records
+thr = 30.0
+
+n_bp = int(float(os.environ.get("BENCH_MBP", "128")) * 1e6)
+rng = np.random.default_rng(42)
+codes = rng.integers(0, 4, n_bp, dtype=np.int8)
+
+eng = S.ScanEngine(profile.sum_kfv, k=k, ws=ws, r=r)
+print(f"chunk={eng.chunk} use_pallas={eng.use_pallas} backend={jax.default_backend()}")
+
+def t(name, fn, n=3):
+    fn()  # warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:32s} {min(ts)*1e3:9.1f} ms")
+    return min(ts)
+
+# 1. H2D prepare (pack + transfer + unpack)
+t("prepare_codes (H2D+unpack)", lambda: jax.block_until_ready(eng.prepare_codes(codes).dev))
+prep = eng.prepare_codes(codes)
+jax.block_until_ready(prep.dev)
+
+# 2. full record bitmap call (the production path, device only)
+nw = n_bp - ws + 1
+thr_dev = jnp.asarray(np.asarray([eng._thr_int(thr)], dtype=np.int32))
+nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
+def bitmaps():
+    return jax.block_until_ready(S._scan_record_bitmaps(
+        prep.dev, nv, eng.s_dev, thr_dev, k=k, ws=ws, r=r,
+        span=eng.chunk, block=eng.block, n_spans=prep.n_spans, use_pallas=eng.use_pallas))
+tb = t("record bitmaps (full scan)", bitmaps)
+print(f"  -> implied scan-only throughput {n_bp/tb/1e6:.1f} Mbp/s")
+
+# 3. single span distances, pallas vs xla
+span = eng.chunk
+cd = prep.dev[: span + ws - 1]
+jax.block_until_ready(cd)
+def pall():
+    return jax.block_until_ready(SP.scan_window_distances_pallas(cd, eng.s_dev, k, ws, r))
+tp = t("one span pallas D", pall)
+print(f"  -> {span/tp/1e6:.1f} Mbp/s")
+
+# 4. kernel alone on pre-built tiles
+w = ws - k + 1
+kcodes = S.rolling_kmer_codes_jnp(cd, k)
+tt = 2048
+n_tiles = -(-span // tt)
+n_tiles_pad = -(-n_tiles // SP.ROWS) * SP.ROWS
+kp = jnp.pad(kcodes, (0, n_tiles_pad * tt + w - kcodes.shape[0]))
+tiles = jax.vmap(lambda i: jax.lax.dynamic_slice(kp, (i * tt,), (tt + w,)))(jnp.arange(n_tiles_pad))
+jax.block_until_ready(tiles)
+tk = t("match_counts kernel alone", lambda: jax.block_until_ready(SP.match_counts(tiles, w, tt)))
+print(f"  -> {span/tk/1e6:.1f} Mbp/s")
+
+# 5. XLA glue alone: kcodes + gather + delta + cumsum (no kernel)
+@jax.jit
+def glue(cd, s):
+    kc = S.rolling_kmer_codes_jnp(cd, k)
+    g = jnp.take(s, kc)
+    nw1 = span
+    kl = kc[: nw1 - 1]; kr = kc[w : w + nw1 - 1]
+    delta = jnp.int32(2 * r * r) * (kl != kr) + (2 * r) * (g[: nw1 - 1] - g[w : w + nw1 - 1])
+    return jnp.cumsum(delta)
+t("xla glue (kcodes+gather+cumsum)", lambda: jax.block_until_ready(glue(cd, eng.s_dev)))
+
+# 6. gather alone
+@jax.jit
+def gath(cd, s):
+    kc = S.rolling_kmer_codes_jnp(cd, k)
+    return jnp.take(s, kc)
+t("kcodes+gather alone", lambda: jax.block_until_ready(gath(cd, eng.s_dev)))
+
+# 7. tile build alone
+@jax.jit
+def tb_(cd):
+    kc = S.rolling_kmer_codes_jnp(cd, k)
+    kp = jnp.pad(kc, (0, n_tiles_pad * tt + w - kc.shape[0]))
+    return jax.vmap(lambda i: jax.lax.dynamic_slice(kp, (i * tt,), (tt + w,)))(jnp.arange(n_tiles_pad))
+t("kcodes+tile build alone", lambda: jax.block_until_ready(tb_(cd)))

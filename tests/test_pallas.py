@@ -36,3 +36,67 @@ def test_pallas_scan_matches_bruteforce():
         )
     )
     assert got.tolist() == expected.tolist()
+
+
+class TestLowerBounds:
+    """Certified partial-depth lower bounds: L <= D always, equality at
+    depth = W - 1, Pallas == XLA, and the engine's bound-driven bitmap path
+    yields the same exact candidate stream as the exact-bitmap path."""
+
+    def test_bound_below_exact_and_tight_at_full_depth(self):
+        from kmergma_tpu.ops.scan import scan_window_lower_bounds
+
+        rng = np.random.default_rng(11)
+        n, k, ws, r = 2500, 6, 289, 84
+        w = ws - k + 1
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        s = rng.integers(0, 40, 4**k).astype(np.int32)
+        d = np.asarray(scan_window_distances(jnp.asarray(codes), jnp.asarray(s), k, ws, r))
+        for depth in (1, 8, 32):
+            lb = np.asarray(
+                scan_window_lower_bounds(jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth)
+            )
+            assert (lb <= d).all()
+        full = np.asarray(
+            scan_window_lower_bounds(jnp.asarray(codes), jnp.asarray(s), k, ws, r, w - 1)
+        )
+        assert full.tolist() == d.tolist()
+
+    @pytest.mark.parametrize("depth", [4, 32])
+    def test_pallas_bounds_match_xla(self, depth):
+        from kmergma_tpu.ops.scan import scan_window_lower_bounds
+        from kmergma_tpu.ops.scan_pallas import scan_window_lower_bounds_pallas
+
+        rng = np.random.default_rng(depth)
+        n, k, ws, r = 1500, 4, 97, 7
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        s = rng.integers(0, 10, 4**k).astype(np.int32)
+        a = np.asarray(
+            scan_window_lower_bounds(jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth)
+        )
+        b = np.asarray(
+            scan_window_lower_bounds_pallas(
+                jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth,
+                tile_windows=256, interpret=True,
+            )
+        )
+        assert a.tolist() == b.tolist()
+
+    @pytest.mark.parametrize("depth", [1, 16, None])
+    def test_engine_bound_path_stream_exact(self, depth):
+        from kmergma_tpu.ops.scan import ScanEngine
+
+        rng = np.random.default_rng(3)
+        n, k, ws, r = 6000, 6, 289, 12
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        s = rng.integers(0, 10, 4**k).astype(np.int32)
+        d_full = scan_window_distances_np(codes, s, k, ws, r) / (2.0 * k * r * r)
+        thr = float(np.percentile(d_full, 5))
+
+        exact = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1024, bound_depth=None)
+        bound = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1024, bound_depth=depth)
+        d0_e, stream_e, _ = exact.record_stream(codes, thr)
+        d0_b, stream_b, _ = bound.record_stream(codes, thr)
+        assert d0_e == d0_b == d_full[0]
+        assert stream_e == stream_b
+        assert len(stream_e) > 0
