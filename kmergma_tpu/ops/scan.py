@@ -397,11 +397,32 @@ class ScanEngine:
         # would otherwise clamp and silently misattribute windows)
         total = n_spans * self.chunk + self.rspan + (max_ws if max_ws is not None else self.ws) + 1
         total = -(-total // 4) * 4
-        padded = np.zeros(total, dtype=np.uint8)
-        padded[:n] = codes.view(np.uint8)
-        q = padded.reshape(4, total // 4)  # quarter-wise fields (see _unpack_codes)
-        packed = (q[0] | (q[1] << 2) | (q[2] << 4) | (q[3] << 6)).astype(np.uint8)
-        return PreparedCodes(_unpack_codes(jnp.asarray(packed)), n_spans)
+        # Multi-piece transfers: round the packed byte count to a whole
+        # number of pieces - the relay pays a per-shape setup cost, so every
+        # piece (including the last) must share one fixed shape.
+        piece = 16 << 20
+        if total > 4 * piece:
+            total = -(-total // (4 * piece)) * (4 * piece)
+        from ..utils.native import pack_quarters_native
+
+        packed = pack_quarters_native(codes, total)
+        if packed is None:  # pure-numpy fallback (no g++ toolchain)
+            padded = np.zeros(total, dtype=np.uint8)
+            padded[:n] = codes.view(np.uint8)
+            q = padded.reshape(4, total // 4)  # quarter-wise fields (see _unpack_codes)
+            packed = (q[0] | (q[1] << 2) | (q[2] << 4) | (q[3] << 6)).astype(np.uint8)
+        # The relay's H2D throughput collapses on large single transfers
+        # (~19 MB/s at 128 MB vs ~39 MB/s sustained at 16 MB); ship the
+        # packed bytes in 16 MB pieces (async device_put) and stitch on
+        # device.  One piece -> no concat copy.
+        if packed.nbytes <= piece:
+            packed_dev = jax.device_put(packed)
+        else:
+            bounds = range(0, packed.nbytes, piece)
+            packed_dev = jnp.concatenate(
+                [jax.device_put(packed[o : o + piece]) for o in bounds]
+            )
+        return PreparedCodes(_unpack_codes(packed_dev), n_spans)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
         """Scan one record; return (dist0, stream, dists_or_None).

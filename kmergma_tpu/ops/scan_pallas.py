@@ -72,7 +72,7 @@ def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
     ab_ref[:, :] = a - b
 
 
-def _pair_counts_kernel(k_ref, ab_ref, *, w: int, t: int, depth: int):
+def _pair_counts_kernel(kmain_ref, khalo_ref, ab_ref, *, w: int, t: int, depth: int):
     """Partial-depth variant: net pair-match delta at depths 1..depth only.
 
     ab[p] = sum_{d=1..depth} eq(K[p+W-d], K[p+W]) - eq(K[p+d], K[p])
@@ -80,49 +80,51 @@ def _pair_counts_kernel(k_ref, ab_ref, *, w: int, t: int, depth: int):
     i.e. pairs gained by the entering k-mer minus pairs lost by the leaving
     k-mer, counting only partner distances <= depth.  Cumulating these gives
     the exact partial pair count P̂_p <= P_p, hence a certified LOWER bound
-    on the window distance (see ops.scan.scan_window_lower_bounds).  Same
-    roll-by-±1 structure as _match_counts_kernel; the rolls stay < w so the
-    compared lanes are never contaminated by wraparound.
+    on the window distance (see ops.scan.scan_window_lower_bounds).
+
+    The tile arrives as a contiguous main block (ROWS, t) - a free reshape
+    of the flat K array, no overlapped-copy materialisation in HBM - plus a
+    small halo (ROWS, w..) holding K[i*t + t : i*t + t + w].  The depth loop
+    is a static Python unroll of UNALIGNED STATIC lane slices (supported by
+    Mosaic; only *dynamic* lane slices must be 128-aligned), which avoids
+    the two cyclic rolls per iteration of the full-depth kernel.
     """
-    k_all = k_ref[:, :]
+    k_all = jnp.concatenate([kmain_ref[:, :], khalo_ref[:, :w]], axis=1)
     kl = k_all[:, :t]
     kr = k_all[:, w : w + t]
 
-    ka0 = jnp.roll(k_all, -(w - 1), axis=1)  # offset w-1 = depth d=1 partner of kr
-    kb0 = jnp.roll(k_all, -1, axis=1)  # offset 1 = depth d=1 partner of kl
-    zero = jnp.zeros((ROWS, t), dtype=jnp.int32)
-
-    def body(d, carry):
-        a, b, ka, kb = carry
-        a = a + (ka[:, :t] == kr).astype(jnp.int32)
-        b = b + (kb[:, :t] == kl).astype(jnp.int32)
-        return a, b, jnp.roll(ka, 1, axis=1), jnp.roll(kb, -1, axis=1)
-
-    a, b, _, _ = jax.lax.fori_loop(1, depth + 1, body, (zero, zero, ka0, kb0))
+    a = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    b = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    for d in range(1, depth + 1):
+        a = a + (k_all[:, w - d : w - d + t] == kr).astype(jnp.int32)
+        b = b + (k_all[:, d : d + t] == kl).astype(jnp.int32)
     ab_ref[:, :] = a - b
 
 
 @partial(jax.jit, static_argnames=("w", "t", "depth", "interpret"))
-def pair_counts(tiles_k: jnp.ndarray, w: int, t: int, depth: int, interpret: bool | None = None):
+def pair_counts(tiles_main: jnp.ndarray, tiles_halo: jnp.ndarray, w: int, t: int, depth: int, interpret: bool | None = None):
     """Partial-depth net pair-match deltas per transition, per tile.
 
-    tiles_k: (n_tiles, t + w) int32 k-mer codes (n_tiles a multiple of ROWS).
-    Returns (n_tiles, t) int32.
+    tiles_main: (n_tiles, t) int32 k-mer codes (tile i = K[i*t : i*t + t]);
+    tiles_halo: (n_tiles, >=w) int32 (tile i = K[i*t + t : i*t + t + w]).
+    n_tiles must be a multiple of ROWS.  Returns (n_tiles, t) int32.
     """
     if interpret is None:
         interpret = _interpret_default()
-    n_tiles = tiles_k.shape[0]
+    n_tiles = tiles_main.shape[0]
+    hw = tiles_halo.shape[1]
     grid = (n_tiles // ROWS,)
     return pl.pallas_call(
         partial(_pair_counts_kernel, w=w, t=t, depth=depth),
         out_shape=jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, t + w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles_k)
+    )(tiles_main, tiles_halo)
 
 
 @partial(jax.jit, static_argnames=("w", "t", "interpret"))
@@ -204,7 +206,7 @@ def scan_window_lower_bounds_pallas(
     ws: int,
     r: int,
     depth: int,
-    tile_windows: int = 2048,
+    tile_windows: int = 8192,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Pallas-backed certified lower bounds L[p] <= D[p] at partial depth.
@@ -221,13 +223,16 @@ def scan_window_lower_bounds_pallas(
 
     n_tiles = -(-nw // t)
     n_tiles_pad = -(-n_tiles // ROWS) * ROWS
-    kcodes_pad = jnp.pad(kcodes, (0, n_tiles_pad * t + w - kcodes.shape[0]))
+    hw = -(-w // 128) * 128  # lane-aligned halo width
+    kcodes_pad = jnp.pad(kcodes, (0, n_tiles_pad * t + hw - kcodes.shape[0]))
 
-    def take_tile(i):
-        return jax.lax.dynamic_slice(kcodes_pad, (i * t,), (t + w,))
-
-    tiles_k = jax.vmap(take_tile)(jnp.arange(n_tiles_pad))
-    ab = pair_counts(tiles_k, w, t, depth, interpret=interpret).reshape(-1)
+    # Main blocks are a FREE reshape of the flat K array (no overlapped-tile
+    # copy in HBM); only the small (n_tiles, hw) halo is materialised.
+    tiles_main = kcodes_pad[: n_tiles_pad * t].reshape(n_tiles_pad, t)
+    tiles_halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(kcodes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles_pad))
+    ab = pair_counts(tiles_main, tiles_halo, w, t, depth, interpret=interpret).reshape(-1)
 
     r2 = jnp.int32(2 * r * r)
     delta = r2 * ab[: nw - 1] + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])

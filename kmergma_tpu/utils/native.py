@@ -34,7 +34,8 @@ def _build_lib() -> "ctypes.CDLL | None":
                 timeout=120,
             )
         lib = ctypes.CDLL(so_path)
-    except (OSError, subprocess.SubprocessError):
+        lib.pack_quarters  # symbol presence check (stale .so -> AttributeError)
+    except (OSError, subprocess.SubprocessError, AttributeError):
         return None
 
     lib.fasta_stats.restype = ctypes.c_int
@@ -50,6 +51,10 @@ def _build_lib() -> "ctypes.CDLL | None":
     ]
     lib.encode_seq.restype = ctypes.c_long
     lib.encode_seq.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p]
+    lib.pack_quarters.restype = None
+    lib.pack_quarters.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
     return lib
 
 
@@ -115,3 +120,24 @@ def load_fasta_native(path: str):
         descs.append(raw[d : d + int(desc_lens[r])].decode("ascii"))
         d += int(desc_lens[r])
     return codes, offsets, lengths, descs
+
+def pack_quarters_native(codes: np.ndarray, total: int) -> "np.ndarray | None":
+    """Quarter-wise 2-bit pack of ``codes`` zero-padded to ``total`` bases.
+
+    Returns uint8[total // 4] (the layout ops.scan._unpack_codes expects),
+    or None if the native library is unavailable.  Saves the padded int8
+    copy and ~5x the numpy packing time on genome-scale inputs.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert total % 4 == 0 and total >= codes.shape[0]
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    out = np.empty(total // 4, dtype=np.uint8)
+    lib.pack_quarters(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(codes.shape[0]),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(total),
+    )
+    return out
