@@ -286,6 +286,43 @@ def _scan_regions_d(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regions,
     return jax.lax.map(one, starts)
 
 
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "cap", "use_pallas"))
+def _scan_regions_compact(codes_dev, starts, n_valid, s_profile, thr_int, *, k, ws, r, rspan, n_regions, cap, use_pallas):
+    """Exact region scan with a COMPACT fetch: per region returns
+
+      d0      - the region's first-window distance (exact; region 0 carries
+                the record's dist0),
+      bitmask - rspan below-threshold flags packed 32/lane (int32[rspan/32]),
+      vals/idx - the ``cap`` smallest distances and their in-region indices
+                (jax.lax.top_k of -d), which contain ALL below-threshold
+                values whenever the region's below-count <= cap.
+
+    The minima replay needs exact values only for below-threshold windows;
+    a rising edge just needs its position (any stand-in value >= thr drives
+    the state machine identically, since after an edge reset the next
+    below-threshold window always replaces the running minimum).  So this
+    fetch is ~16x smaller than shipping full distance arrays; overflowing
+    regions (count > cap) are re-fetched in full by the caller.
+    """
+
+    def one(start):
+        codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
+        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+        valid = start + jnp.arange(rspan, dtype=jnp.int32) < n_valid[0]
+        below = (d < thr_int[0]) & valid
+        # bit-pack 32 flags per lane; distinct bits -> sum == bitwise OR
+        bitmask = jnp.sum(
+            below.reshape(rspan // 32, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, :],
+            axis=1,
+        )
+        big = jnp.int32(2**31 - 1)
+        vals, idx = jax.lax.top_k(-jnp.where(valid, d, big), cap)
+        return d[0], bitmask, -vals, idx
+
+    return jax.lax.map(one, starts)
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
 def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
@@ -366,6 +403,7 @@ class ScanEngine:
         self.chunk = chunk_windows
         self.block = 512  # bitmap granularity (windows per activity block)
         self.rspan = 1 << 16  # region-recompute granularity (hit fetch-back)
+        self.region_cap = 2048  # top_k capacity per region (see _scan_regions_compact)
         self._thr_cache: tuple[float, object] | None = None
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
@@ -486,7 +524,8 @@ class ScanEngine:
         active[1:] |= bitmaps[:-1]
         active[0] = True  # window 0 (dist0)
 
-        # bin expanded blocks into fetch regions and recompute each once
+        # bin expanded blocks into fetch regions; each active region is
+        # re-scanned exactly on device with a COMPACT fetch-back
         rspan = min(self.chunk, self.rspan)
         blocks_per_region = max(1, rspan // block)
         regions = np.unique(np.nonzero(active)[0] // blocks_per_region)
@@ -494,36 +533,90 @@ class ScanEngine:
         n_regions = _span_bucket(len(starts))
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
-        ds = _with_retry(
-            lambda: np.asarray(
-                _scan_regions_d(
-                    prep.dev, jnp.asarray(starts_pad), self.s_dev,
+        nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
+        cap = min(self.region_cap, rspan)
+        d0s, masks, vals, idxs = _with_retry(
+            lambda: jax.tree.map(
+                np.asarray,
+                _scan_regions_compact(
+                    prep.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
                     k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                    n_regions=n_regions, use_pallas=self.use_pallas,
-                )
+                    n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
+                ),
             )
         )
-        segments: list[tuple[int, np.ndarray]] = []
-        for start, d in zip(starts, ds):
-            limit = min(rspan, nw - start)
-            segments.append((start, d[:limit]))
-
-        # Assemble the exact candidate stream from the fetched segments.
-        gidx = np.concatenate([np.arange(g, g + v.shape[0]) for g, v in segments])
-        gvals = np.concatenate([v for _, v in segments])
-        gidx, first = np.unique(gidx, return_index=True)
-        gvals = gvals[first]
-        if gidx[0] != 0:
+        if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
-        dist0 = float(gvals[0]) / self.scale
-        below = gvals < thr_int
-        prev_is_below = np.zeros_like(below)
-        contiguous = np.zeros_like(below)
-        contiguous[1:] = gidx[1:] == gidx[:-1] + 1
-        prev_is_below[1:] = below[:-1]
-        keep = (below | (prev_is_below & contiguous)) & (gidx >= 1)
-        for j, v in zip(gidx[keep], gvals[keep]):
-            stream.append((int(j), float(v) / self.scale))
+        dist0 = float(d0s[0]) / self.scale
+
+        # Per-region assembly: below entries carry their exact values; edge
+        # entries (run end + 1) carry ``thr`` as a stand-in (any value >= thr
+        # replays identically - see _scan_regions_compact).  Regions whose
+        # below-count overflows ``cap`` are re-fetched in full below.
+        bits_all = np.unpackbits(
+            masks.view(np.uint8), axis=1, bitorder="little"
+        ).astype(bool)  # (n_regions, rspan) below flags (device-masked to nw)
+        counts = bits_all[: len(starts)].sum(axis=1)
+        overflow: list[int] = []
+        parts_idx: list[np.ndarray] = []
+        parts_val: list[np.ndarray] = []
+        prev_end_below = False  # run continuing across a region boundary
+        for i, start in enumerate(starts):
+            limit = min(rspan, nw - start)
+            bits = bits_all[i]
+            if counts[i] > cap - 1:
+                overflow.append(i)
+                prev_end_below = bits[limit - 1]
+                continue
+            sel = (vals[i] < thr_int) & (idxs[i] < limit)
+            below_idx = idxs[i][sel]
+            below_val = vals[i][sel].astype(np.float64) / self.scale
+            prev = np.empty(limit, dtype=bool)
+            prev[0] = prev_end_below and (i > 0 and starts[i - 1] + rspan == start)
+            prev[1:] = bits[: limit - 1]
+            edge_idx = np.nonzero(~bits[:limit] & prev)[0]
+            idx_cat = np.concatenate([below_idx, edge_idx]) + start
+            val_cat = np.concatenate(
+                [below_val, np.full(edge_idx.shape[0], float(thr))]
+            )
+            order = np.argsort(idx_cat, kind="stable")
+            parts_idx.append(idx_cat[order])
+            parts_val.append(val_cat[order])
+            prev_end_below = bits[limit - 1]
+
+        if overflow:  # rare: very hit-dense regions - fetch full values
+            n_over = _span_bucket(len(overflow))
+            ostarts = np.zeros(n_over, dtype=np.int32)
+            ostarts[: len(overflow)] = [starts[i] for i in overflow]
+            ds = _with_retry(
+                lambda: np.asarray(
+                    _scan_regions_d(
+                        prep.dev, jnp.asarray(ostarts), self.s_dev,
+                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                        n_regions=n_over, use_pallas=self.use_pallas,
+                    )
+                )
+            )
+            for i, d in zip(overflow, ds):
+                start = starts[i]
+                limit = min(rspan, nw - start)
+                below = d[:limit] < thr_int
+                prev = np.empty(limit, dtype=bool)
+                prev[0] = bool(
+                    bits_all[i - 1][min(rspan, nw - starts[i - 1]) - 1]
+                ) if i > 0 and starts[i - 1] + rspan == start else False
+                prev[1:] = below[:-1]
+                keep = np.nonzero(below | prev)[0]
+                parts_idx.append(keep + start)
+                parts_val.append(d[keep].astype(np.float64) / self.scale)
+
+        gidx = np.concatenate(parts_idx) if parts_idx else np.empty(0, np.int64)
+        gvals = np.concatenate(parts_val) if parts_val else np.empty(0)
+        if overflow:  # overflow parts were appended out of order
+            order = np.argsort(gidx, kind="stable")
+            gidx, gvals = gidx[order], gvals[order]
+        keep = gidx >= 1
+        stream.extend(zip(gidx[keep].tolist(), gvals[keep].tolist()))
 
         return dist0, stream, full_dists
 
