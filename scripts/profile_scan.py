@@ -46,9 +46,34 @@ nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
 def bitmaps():
     return jax.block_until_ready(S._scan_record_bitmaps(
         prep.dev, nv, eng.s_dev, thr_dev, k=k, ws=ws, r=r,
-        span=eng.chunk, block=eng.block, n_spans=prep.n_spans, use_pallas=eng.use_pallas))
-tb = t("record bitmaps (full scan)", bitmaps)
-print(f"  -> implied scan-only throughput {n_bp/tb/1e6:.1f} Mbp/s")
+        span=eng.chunk, block=eng.block, n_spans=prep.n_spans, use_pallas=eng.use_pallas,
+        depth=eng.bound_depth))
+tb = t("record bitmaps (production)", bitmaps)
+print(f"  -> implied scan-only throughput {n_bp/tb/1e6:.1f} Mbp/s (depth={eng.bound_depth})")
+
+# 2b. lower-bound span pass alone (the per-span body of the bitmap call)
+span_ = eng.chunk
+cd_ = prep.dev[: span_ + ws - 1]
+jax.block_until_ready(cd_)
+def lbspan():
+    return jax.block_until_ready(SP.scan_window_lower_bounds_pallas(
+        cd_, eng.s_dev, k, ws, r, eng.bound_depth))
+tl = t("one span lower bounds", lbspan)
+print(f"  -> {span_/tl/1e6:.1f} Mbp/s")
+
+# 2c. pair_counts kernel alone at production depth
+w_ = ws - k + 1
+kc_ = S.rolling_kmer_codes_jnp(cd_, k)
+tt_ = 8192
+ntp_ = -(-(-(-span_ // tt_)) // SP.ROWS) * SP.ROWS
+hw_ = -(-w_ // 128) * 128
+kp_ = jnp.pad(kc_, (0, ntp_ * tt_ + hw_ - kc_.shape[0]))
+tm_ = kp_[: ntp_ * tt_].reshape(ntp_, tt_)
+th_ = jax.vmap(lambda i: jax.lax.dynamic_slice(kp_, ((i + 1) * tt_,), (hw_,)))(jnp.arange(ntp_))
+jax.block_until_ready((tm_, th_))
+tpc = t("pair_counts kernel alone", lambda: jax.block_until_ready(
+    SP.pair_counts(tm_, th_, w_, tt_, eng.bound_depth)))
+print(f"  -> {span_/tpc/1e6:.1f} Mbp/s")
 
 # 3. single span distances, pallas vs xla
 span = eng.chunk
