@@ -1,23 +1,20 @@
 """Distance-threshold estimation and mutation simulation
 (ref /root/reference/src/DistanceTesting.jl).
 
-The estimator's *statistic* matches the reference (mean k-mer distance of
-``num_trials`` random uniform-ACGT sequences of the mean reference length to
-the profile, minus a safety buffer, DistanceTesting.jl:8-32).  The random
-bitstream necessarily differs (NumPy PCG64 vs Julia's RNG) but the mean of
-100 trials concentrates tightly, so thresholds agree to well under 1 unit;
-our own seeded values are pinned by this repo's tests.
+The estimator is BIT-EXACT with the reference: Julia's seeded task-local
+Xoshiro256++ stream and BioSequences' ``randdnaseq`` sampling are replicated
+in ``utils/julia_rand.py``, so ``estimate_optimal_threshold`` reproduces the
+reference's golden values (27 with buffer 12; [38,33,41,37,29] for the five
+clusters, test-KmerGMA.jl:114-126) and the default ``find_genes`` threshold
+lands on the same side of every knife-edge window as the reference.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..utils.julia_rand import JuliaXoshiro, mutate_seq_julia, randdnaseq_codes
 from .kmers import kmer_dist
-
-
-def _rand_seq_codes(rng: np.random.Generator, length: int) -> np.ndarray:
-    return rng.integers(0, 4, size=length, dtype=np.int64)
 
 
 def estimate_optimal_threshold(
@@ -27,15 +24,15 @@ def estimate_optimal_threshold(
     num_trials: int = 100,
     buffer: float = 8.0,
 ) -> float:
-    """Mean distance of random sequences to the profile, minus ``buffer``
-    (ref DistanceTesting.jl:8-17)."""
+    """Mean distance of seeded-random sequences to the profile, minus
+    ``buffer`` (ref DistanceTesting.jl:8-17).  Bit-exact with Julia."""
     from ..consts import get_k
 
-    rng = np.random.default_rng(seed)
+    rng = JuliaXoshiro(seed)
     k = get_k(mean_kfv.shape[0])
     total = 0.0
     for _ in range(num_trials):
-        total += kmer_dist(_rand_seq_codes(rng, average_length), mean_kfv, k)
+        total += kmer_dist(randdnaseq_codes(rng, average_length), mean_kfv, k)
     return total / num_trials - buffer
 
 
@@ -50,23 +47,27 @@ def estimate_optimal_thresholds(
     (ref DistanceTesting.jl:19-32 seeds once before the loop)."""
     from ..consts import get_k
 
-    rng = np.random.default_rng(seed)
+    rng = JuliaXoshiro(seed)
     k = get_k(mean_kfvs[0].shape[0])
     out = []
     for kfv, length in zip(mean_kfvs, average_lengths):
         total = 0.0
         for _ in range(num_trials):
-            total += kmer_dist(_rand_seq_codes(rng, length), kfv, k)
+            total += kmer_dist(randdnaseq_codes(rng, length), kfv, k)
         out.append(total / num_trials - buffer)
     return out
 
 
 def mutate_seq(seq: str, mut_rate: float, seed: int | None = None) -> str:
-    """String-level mutation helper (ref DistanceTesting.jl:57-67)."""
+    """String-level mutation helper (ref DistanceTesting.jl:57-67).
+
+    With a seed, matches Julia's ``Random.seed!(seed); mutate_seq(...)``
+    bit-for-bit (goldens dna"AGGC"/"AGGCGTCC", test-KmerGMA.jl:122-125).
+    """
     from ..consts import decode_seq, encode_seq
 
-    rng = np.random.default_rng(seed)
-    return decode_seq(mutate_seq_codes(encode_seq(seq), mut_rate, rng))
+    rng = JuliaXoshiro(seed if seed is not None else np.random.randint(0, 2**31))
+    return decode_seq(mutate_seq_julia(encode_seq(seq), mut_rate, rng))
 
 
 def substitution_distance_sweep(
@@ -80,7 +81,8 @@ def substitution_distance_sweep(
 
     Returns an array of shape (num_seeds, n_steps): for each seed, the
     k-mer distance of the progressively mutated sequence to the profile at
-    mutation rates 0, stepsize, ..., 1.
+    mutation rates 0, stepsize, ..., 1 (seeded Random.seed!(seed) per row,
+    like the reference).
     """
     from ..consts import get_k
 
@@ -88,7 +90,7 @@ def substitution_distance_sweep(
     rates = np.arange(0.0, 1.0 + 1e-12, stepsize)
     out = np.empty((num_seeds, rates.shape[0]), dtype=np.float64)
     for s in range(num_seeds):
-        rng = np.random.default_rng(s + 1)
+        rng = JuliaXoshiro(s + 1)
         for i, rate in enumerate(rates):
             mutated = mutate_seq_codes(base_seq_codes, float(rate), rng)
             out[s, i] = kmer_dist(mutated, mean_kfv, k)
@@ -117,7 +119,7 @@ def strobemer_distance_sweep(
     base = ungapped_strobe_2_mer_count(base_seq_codes, s, w_min, w_max, q)
     rates = np.arange(0.0, 1.0 + 1e-12, stepsize)
     out = np.empty((num_trials, rates.shape[0]), dtype=np.float64)
-    rng = np.random.default_rng(seed)
+    rng = JuliaXoshiro(seed)
     for t in range(num_trials):
         for i, rate in enumerate(rates):
             mutated = mutate_seq_codes(base_seq_codes, float(rate), rng)
@@ -127,12 +129,7 @@ def strobemer_distance_sweep(
     return out
 
 
-def mutate_seq_codes(codes: np.ndarray, mut_rate: float, rng: np.random.Generator) -> np.ndarray:
+def mutate_seq_codes(codes: np.ndarray, mut_rate: float, rng: JuliaXoshiro) -> np.ndarray:
     """Random substitution of ~``mut_rate`` of positions to a different base
-    (ref DistanceTesting.jl:38-67).  Returns a new code array."""
-    codes = np.asarray(codes).copy()
-    hit = rng.random(codes.shape[0]) <= mut_rate
-    # pick one of the 3 other bases uniformly
-    offsets = rng.integers(1, 4, size=codes.shape[0])
-    codes[hit] = (codes[hit] + offsets[hit]) % 4
-    return codes
+    (ref DistanceTesting.jl:38-67), Julia-RNG-exact.  Returns a new array."""
+    return mutate_seq_julia(codes, mut_rate, rng)

@@ -8,35 +8,32 @@ import pytest
 from kmergma_tpu.api import find_genes, find_genes_cluster_mode, write_results
 
 
+REFERENCE_GOLDEN_HITS = [
+    "AM773548.1 | dist = 8.1 | MatchPos = 6852:7140 | GenomePos = 0 | Len = 289",
+    "AM773548.1 | dist = 24.87 | MatchPos = 23907:24201 | GenomePos = 0 | Len = 295",
+    "AM773548.1 | dist = 10.99 | MatchPos = 33845:34133 | GenomePos = 0 | Len = 289",
+]
+
+
 def test_find_genes_golden(mini_genome, ref_fasta):
-    # reference test-KmerGMA.jl:257-263.  The auto threshold is a seeded
-    # random statistic: Julia's seed-42 draw lands just below 29.51 while
-    # ours (and the true mean) land just above, so the knife-edge window at
-    # dist 29.51 becomes hit 3's minimum here (same locus, dedupe then
-    # suppresses the 10.99 sub-window).  Hits 1-2 match the reference
-    # exactly; Julia's exact hit set under its own effective threshold is
-    # pinned in test_find_genes_reference_threshold below.
+    # reference test-KmerGMA.jl:257-263, DEFAULT (auto-threshold) path.
+    # The threshold estimator replays Julia's seeded Xoshiro stream
+    # bit-for-bit (utils/julia_rand.py), so the auto threshold lands on the
+    # reference's side of the knife-edge window at dist 29.51 and the hit
+    # set equals the reference golden exactly.
     a = find_genes(genome_path=mini_genome, ref_path=ref_fasta, verbose=False)[0]
-    assert [h.description for h in a] == [
-        "AM773548.1 | dist = 8.1 | MatchPos = 6852:7140 | GenomePos = 0 | Len = 289",
-        "AM773548.1 | dist = 24.87 | MatchPos = 23907:24201 | GenomePos = 0 | Len = 295",
-        "AM773548.1 | dist = 29.51 | MatchPos = 33845:34132 | GenomePos = 0 | Len = 288",
-    ]
+    assert [h.description for h in a] == REFERENCE_GOLDEN_HITS
 
 
-def test_find_genes_reference_threshold(mini_genome, ref_fasta):
-    # With a threshold in Julia's seed-42 band (< 28.69), the output equals
-    # the reference API golden bit-for-bit.
+def test_find_genes_explicit_threshold(mini_genome, ref_fasta):
+    # An explicit threshold below the auto estimate warns but yields the
+    # same hit set (the 29.51 knife-edge window only matters above it).
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # explicit thr below estimate warns
         a = find_genes(
             genome_path=mini_genome, ref_path=ref_fasta, kmer_dist_thr=28.0, verbose=False
         )[0]
-    assert [h.description for h in a] == [
-        "AM773548.1 | dist = 8.1 | MatchPos = 6852:7140 | GenomePos = 0 | Len = 289",
-        "AM773548.1 | dist = 24.87 | MatchPos = 23907:24201 | GenomePos = 0 | Len = 295",
-        "AM773548.1 | dist = 10.99 | MatchPos = 33845:34133 | GenomePos = 0 | Len = 289",
-    ]
+    assert [h.description for h in a] == REFERENCE_GOLDEN_HITS
 
 
 def test_find_genes_cluster_mode_golden(mini_genome, ref_fasta):
