@@ -2,7 +2,9 @@
 ``Omn_KmerGMA!`` (ref /root/reference/src/OmnGenomeMiner.jl:7-162).
 
 Each cluster profile scans with its own windowsize and exact integer scale
-(its cluster size R_m).  The m per-cluster candidate streams are merged in
+(its cluster size R_m); all m clusters are scanned in ONE device pass per
+record (ops/scan_cluster.ClusterScanEngine shares K codes and the pair-count
+hot loop across clusters).  The m per-cluster candidate streams are merged in
 (i, cluster) order and replayed through the reference's exact hit-processing
 semantics, including both overlap suppressions:
 
@@ -23,7 +25,7 @@ import numpy as np
 
 from ..ops.align import cigar_to_unitrange, semiglobal_align
 from ..ops.reference import RefProfile
-from ..ops.scan import ScanEngine
+from ..ops.scan_cluster import ClusterScanEngine
 from ..utils.fasta import FastaRecord, PathOrRecords, as_records
 from .miner import MineResult, fmt_dist
 from .state_machine import OmnHitEvent, replay_omn
@@ -47,9 +49,11 @@ def mine_genome_clusters(
     k = profiles[0].k
     windowsizes = [p.windowsize for p in profiles]
     maxws = max(windowsizes)
-    engines = [
-        ScanEngine(p.sum_kfv, k=k, ws=p.windowsize, r=p.n_records) for p in profiles
-    ]
+    # ONE fused device pass per record for all m clusters (K codes and the
+    # pair-count hot loop shared per distinct windowsize) - this beats the
+    # reference's m x slowdown (OmnGenomeMiner.jl / README.md:50) instead of
+    # reproducing it with m serial engines.
+    cluster_engine = ClusterScanEngine(profiles, k=k)
 
     res = MineResult()
     dist_parts: list[list[np.ndarray]] = [[] for _ in range(m)]
@@ -62,18 +66,26 @@ def mine_genome_clusters(
             genome_pos += seq_len
             continue
 
-        dist0s, streams = [], []
         # one H2D per record, shared by all cluster engines
-        shared_dev = engines[0].prepare_codes(record.codes, max_ws=maxws)
-        for ind in range(m):
-            d0, stream, dists = engines[ind].record_stream(
-                record.codes, thr_vec[ind], collect_dists=do_return_dists,
-                codes_dev=shared_dev,
-            )
-            dist0s.append(d0)
-            streams.append(stream)
-            if dists is not None:
+        shared_dev = cluster_engine.prepare_codes(record.codes)
+        if do_return_dists:
+            # debug path: full per-window distances need the dense per-
+            # cluster scan (one device pass per cluster)
+            dist0s, streams = [], []
+            for ind in range(m):
+                d0, stream, dists = cluster_engine.engines[ind].record_stream(
+                    record.codes, thr_vec[ind], collect_dists=True,
+                    codes_dev=shared_dev,
+                )
+                dist0s.append(d0)
+                streams.append(stream)
                 dist_parts[ind].append(dists[1 : imax + 1])
+        else:
+            pairs = cluster_engine.record_streams(
+                record.codes, thr_vec, codes_dev=shared_dev
+            )
+            dist0s = [p[0] for p in pairs]
+            streams = [p[1] for p in pairs]
 
         prev_range = (0, 0)  # 1-based inclusive; (0,0) matches Julia's 0:0
 

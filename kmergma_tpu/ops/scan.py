@@ -150,6 +150,30 @@ def _lower_bound_base(kcodes, g, s_profile, w: int, r: int, depth: int):
     return jnp.int32(r * r) * (jnp.int32(w) + 2 * p0) - jnp.int32(2 * r) * g0 + s2
 
 
+def _pair_ab_xla(kcodes: jnp.ndarray, w: int, nt: int, depth: int) -> jnp.ndarray:
+    """Net pair-match delta ab[p] for transitions p in [0, nt) at partner
+    distances 1..depth (XLA fallback of scan_pallas.pair_ab_from_kcodes):
+
+        ab[p] = sum_d eq(K[p+w-d], K[p+w]) - eq(K[p+d], K[p])
+
+    ``kcodes`` must hold at least nt + w codes.  Returns int32[nt].
+    """
+    kl = kcodes[:nt]
+    kr = kcodes[w : w + nt]
+
+    def body(d, ab):
+        a, b = ab
+        # pairs gained by the entering k-mer at partner distance d
+        a = a + (jax.lax.dynamic_slice(kcodes, (w - d,), (nt,)) == kr)
+        # pairs lost by the leaving k-mer at partner distance d
+        b = b + (jax.lax.dynamic_slice(kcodes, (d,), (nt,)) == kl)
+        return a, b
+
+    zero = jnp.zeros_like(kl)
+    a, b = jax.lax.fori_loop(1, depth + 1, body, (zero, zero))
+    return a - b
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "depth"))
 def scan_window_lower_bounds(
     codes: jnp.ndarray, s_profile: jnp.ndarray, k: int, ws: int, r: int, depth: int
@@ -174,20 +198,8 @@ def scan_window_lower_bounds(
     if nw <= 1:
         return l0[None]
 
-    kl = kcodes[: nw - 1]
-    kr = kcodes[w : w + nw - 1]
-
-    def body(d, ab):
-        a, b = ab
-        # pairs gained by the entering k-mer at partner distance d
-        a = a + (jax.lax.dynamic_slice(kcodes, (w - d,), (nw - 1,)) == kr)
-        # pairs lost by the leaving k-mer at partner distance d
-        b = b + (jax.lax.dynamic_slice(kcodes, (d,), (nw - 1,)) == kl)
-        return a, b
-
-    zero = jnp.zeros_like(kl)
-    a, b = jax.lax.fori_loop(1, depth + 1, body, (zero, zero))
-    delta = jnp.int32(2 * r * r) * (a - b) + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
+    ab = _pair_ab_xla(kcodes, w, nw - 1, depth)
+    delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
     return jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
 
 
@@ -507,17 +519,33 @@ class ScanEngine:
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         thr_dev = self._thr_cache[1]
 
-        block = self.block
         bitmaps = _with_retry(
             lambda: np.asarray(
                 _scan_record_bitmaps(
                     prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
-                    k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=block,
+                    k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
                     n_spans=prep.n_spans, use_pallas=self.use_pallas,
                     depth=self.bound_depth,
                 )
             )
         ).reshape(-1)
+        dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
+        return dist0, stream, full_dists
+
+    def _assemble_stream(self, prep: PreparedCodes, nw: int, thr: float, bitmaps: np.ndarray):
+        """Turn a record's activity bitmaps into the exact candidate stream.
+
+        Recomputes the few active regions exactly on device (compact
+        fetch-back) and assembles the sorted (window index >= 1, exact
+        distance) stream plus the record's first-window distance.  Shared by
+        the single-profile path and the one-pass cluster engine
+        (ops/scan_cluster.py), which computes all clusters' bitmaps in one
+        device pass but assembles per-cluster streams through here.
+        """
+        thr_int = self._thr_int(thr)
+        thr_dev = jnp.asarray(np.asarray([thr_int], dtype=np.int32))
+        stream: list[tuple[int, float]] = []
+        block = self.block
 
         # active blocks, expanded one block right (covers every rising edge)
         active = bitmaps.copy()
@@ -618,7 +646,7 @@ class ScanEngine:
         keep = gidx >= 1
         stream.extend(zip(gidx[keep].tolist(), gvals[keep].tolist()))
 
-        return dist0, stream, full_dists
+        return dist0, stream
 
     def _stream_from_full(self, d: np.ndarray, offset: int, prev_below: bool, thr_int: int, stream: list) -> None:
         below = d < thr_int

@@ -1,0 +1,194 @@
+"""One-pass multi-profile (cluster) scan engine.
+
+The reference's cluster mode is m x the cost of the single scan (one rolling
+update per cluster per bp, ref /root/reference/src/OmnGenomeMiner.jl:89-158,
+README.md:50 "40/m Mbp/s").  This engine beats that m x by sharing everything
+profile-independent across clusters in ONE device pass per record:
+
+  * K codes are computed once per span (not once per cluster),
+  * the pair-match delta ``ab`` and the first-window pair count ``p0`` -
+    the O(depth)/bp hot loops - depend only on (windowsize, depth), so
+    clusters are grouped by windowsize and each group runs the Pallas pair
+    kernel ONCE (cluster windowsizes cluster tightly: e.g. the reference
+    test set yields [288,288,288,289,290,289] -> 3 groups for 6 clusters),
+  * only the cheap per-cluster tail (profile lookup g = S_m[K], scaled
+    delta assembly, cumsum, threshold bitmap) runs per cluster, fused by
+    XLA into the same elementwise pipeline.
+
+Asymptotically the pass costs O(G*depth + m)/bp instead of m*O(depth)/bp,
+where G = #distinct windowsizes <= m.  The per-cluster candidate streams are
+then assembled through each cluster's ScanEngine region machinery (exact
+recompute of rare active regions) and replayed by the sequential Omn state
+machine - bit-exact with the serial per-cluster path by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .scan import (
+    ScanEngine,
+    _pair_ab_xla,
+    _with_retry,
+    profile_lookup,
+    rolling_kmer_codes_jnp,
+)
+
+
+def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
+    """First-window equal-k-mer pair count at partner distance <= depth -
+    the profile-independent part of ops.scan._lower_bound_base."""
+    k0 = kcodes[:w]
+    idx = jnp.arange(w, dtype=jnp.int32)
+
+    def body(d, acc):
+        return acc + jnp.sum(
+            ((jnp.roll(k0, -d) == k0) & (idx < w - d)).astype(jnp.int32)
+        )
+
+    return jax.lax.fori_loop(1, depth + 1, body, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("k", "span", "block", "n_spans", "use_pallas", "groups"))
+def _cluster_record_bitmaps(
+    codes_dev, n_valids, s_stack, thr_ints, *, k, span, block, n_spans, use_pallas, groups
+):
+    """Activity bitmaps for ALL clusters in one device pass.
+
+    groups: static tuple of (ws, depth, cluster_index_tuple, r_tuple) with
+    clusters grouped by windowsize; ``s_stack`` is the (m, 4^k) stack of
+    integer summed profiles, ``thr_ints``/``n_valids`` the per-cluster
+    scaled thresholds and window counts.
+
+    Returns bool[n_spans, m, span // block].
+    """
+    max_ws = max(g[0] for g in groups)
+    m = s_stack.shape[0]
+    s2 = jnp.sum(s_stack * s_stack, axis=1)  # (m,) ||S_m||^2
+
+    def step(_, i):
+        start = i * span
+        codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + max_ws - 1,))
+        kcodes_all = rolling_kmer_codes_jnp(codes, k)  # span + max_w - 1 codes
+        pos = start + jnp.arange(span, dtype=jnp.int32)
+        bitmaps: list = [None] * m
+        for ws, depth, idxs, rs in groups:
+            w = ws - k + 1
+            kc = jax.lax.slice(kcodes_all, (0,), (span + w - 1,))
+            nt = span - 1
+            if use_pallas:
+                from .scan_pallas import pair_ab_from_kcodes
+
+                ab = pair_ab_from_kcodes(kc, w, nt, depth)
+            else:
+                ab = _pair_ab_xla(kc, w, nt, depth)
+            p0 = _shared_p0(kc, w, depth)
+            for ci, r in zip(idxs, rs):
+                g = profile_lookup(kc, s_stack[ci])
+                l0 = (
+                    jnp.int32(r * r) * (jnp.int32(w) + 2 * p0)
+                    - jnp.int32(2 * r) * jnp.sum(g[:w])
+                    + s2[ci]
+                )
+                delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[:nt] - g[w : w + nt])
+                bounds = jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
+                below = (bounds < thr_ints[ci]) & (pos < n_valids[ci])
+                bitmaps[ci] = below.reshape(span // block, block).any(axis=1)
+        return _, jnp.stack(bitmaps)
+
+    _, out = jax.lax.scan(step, 0, jnp.arange(n_spans))
+    return out  # (n_spans, m, span // block)
+
+
+class ClusterScanEngine:
+    """Host-side driver of the one-pass multi-profile scan.
+
+    Wraps one ScanEngine per cluster (for the exact region recompute and
+    stream assembly) but replaces their m serial bitmap passes with the
+    single fused pass above.  One H2D transfer per record, shared by all
+    clusters (padded for the largest windowsize).
+    """
+
+    def __init__(
+        self,
+        profiles: list,
+        k: int,
+        chunk_windows: int | None = None,
+        use_pallas: bool | None = None,
+        bound_depth: int | None = 32,
+    ):
+        self.k = k
+        self.engines = [
+            ScanEngine(
+                p.sum_kfv,
+                k=k,
+                ws=p.windowsize,
+                r=p.n_records,
+                chunk_windows=chunk_windows,
+                use_pallas=use_pallas,
+                bound_depth=bound_depth,
+            )
+            for p in profiles
+        ]
+        e0 = self.engines[0]
+        self.chunk, self.block, self.use_pallas = e0.chunk, e0.block, e0.use_pallas
+        self.max_ws = max(e.ws for e in self.engines)
+        # group clusters by (ws, clamped depth); exact mode (depth None)
+        # uses depth = w - 1 where the lower bound equals the distance
+        by_key: dict[tuple[int, int], list[int]] = {}
+        for ci, e in enumerate(self.engines):
+            depth = e.bound_depth if e.bound_depth is not None else e.ws - k
+            by_key.setdefault((e.ws, depth), []).append(ci)
+        self.groups = tuple(
+            (ws, depth, tuple(cis), tuple(self.engines[ci].r for ci in cis))
+            for (ws, depth), cis in sorted(by_key.items())
+        )
+        self.s_stack = jnp.stack([e.s_dev for e in self.engines])
+
+    def prepare_codes(self, codes: np.ndarray):
+        return self.engines[0].prepare_codes(codes, max_ws=self.max_ws)
+
+    def record_streams(
+        self, codes: np.ndarray, thrs: list[float], codes_dev=None
+    ) -> list[tuple[float, list[tuple[int, float]]]]:
+        """Scan one record against every cluster profile in one device pass.
+
+        Returns one (dist0, stream) per cluster - the exact contract of
+        ScanEngine.record_stream, consumed by state_machine.replay_omn.
+        """
+        if len(thrs) != len(self.engines):
+            raise ValueError(f"{len(self.engines)} clusters but {len(thrs)} thresholds")
+        n = codes.shape[0]
+        prep = codes_dev if codes_dev is not None else self.prepare_codes(codes)
+        n_valids = np.array([n - e.ws + 1 for e in self.engines], dtype=np.int32)
+        if (n_valids < 1).any():
+            raise ValueError("record shorter than a cluster windowsize")
+        thr_ints = np.array(
+            [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
+        )
+        bitmaps = _with_retry(
+            lambda: np.asarray(
+                _cluster_record_bitmaps(
+                    prep.dev,
+                    jnp.asarray(n_valids),
+                    self.s_stack,
+                    jnp.asarray(thr_ints),
+                    k=self.k,
+                    span=self.chunk,
+                    block=self.block,
+                    n_spans=prep.n_spans,
+                    use_pallas=self.use_pallas,
+                    groups=self.groups,
+                )
+            )
+        )  # (n_spans, m, blocks)
+        out = []
+        for ci, (eng, thr) in enumerate(zip(self.engines, thrs)):
+            bm = bitmaps[:, ci, :].reshape(-1)
+            dist0, stream = eng._assemble_stream(prep, int(n_valids[ci]), thr, bm)
+            out.append((dist0, stream))
+        return out

@@ -198,6 +198,38 @@ def scan_window_distances_pallas(
     return jnp.concatenate([d0[None], d0 + jnp.cumsum(delta)])
 
 
+def pair_ab_from_kcodes(
+    kcodes: jnp.ndarray,
+    w: int,
+    nt: int,
+    depth: int,
+    tile_windows: int = 8192,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas-backed net pair-match deltas ab[0:nt] from precomputed K codes
+    (the kernel contract of ops.scan._pair_ab_xla; bit-identical outputs).
+
+    Main blocks are a FREE reshape of the flat K array (no overlapped-tile
+    copy in HBM); only the small (n_tiles, halo) matrix is materialised.
+    ``kcodes`` must hold at least nt + w codes.  Returns int32[nt].
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    t = tile_windows
+    n_tiles = -(-nt // t)
+    n_tiles_pad = -(-n_tiles // ROWS) * ROWS
+    hw = -(-w // 128) * 128  # lane-aligned halo width
+    pad = n_tiles_pad * t + hw - kcodes.shape[0]
+    kcodes_pad = jnp.pad(kcodes, (0, max(0, pad)))
+
+    tiles_main = kcodes_pad[: n_tiles_pad * t].reshape(n_tiles_pad, t)
+    tiles_halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(kcodes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles_pad))
+    ab = pair_counts(tiles_main, tiles_halo, w, t, depth, interpret=interpret)
+    return ab.reshape(-1)[:nt]
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret"))
 def scan_window_lower_bounds_pallas(
     codes: jnp.ndarray,
@@ -217,22 +249,10 @@ def scan_window_lower_bounds_pallas(
     n = codes.shape[0]
     w = ws - k + 1
     nw = n - ws + 1
-    t = tile_windows
     kcodes = rolling_kmer_codes_jnp(codes, k)
     g = profile_lookup(kcodes, s_profile)
 
-    n_tiles = -(-nw // t)
-    n_tiles_pad = -(-n_tiles // ROWS) * ROWS
-    hw = -(-w // 128) * 128  # lane-aligned halo width
-    kcodes_pad = jnp.pad(kcodes, (0, n_tiles_pad * t + hw - kcodes.shape[0]))
-
-    # Main blocks are a FREE reshape of the flat K array (no overlapped-tile
-    # copy in HBM); only the small (n_tiles, hw) halo is materialised.
-    tiles_main = kcodes_pad[: n_tiles_pad * t].reshape(n_tiles_pad, t)
-    tiles_halo = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(kcodes_pad, ((i + 1) * t,), (hw,))
-    )(jnp.arange(n_tiles_pad))
-    ab = pair_counts(tiles_main, tiles_halo, w, t, depth, interpret=interpret).reshape(-1)
+    ab = pair_ab_from_kcodes(kcodes, w, max(nw - 1, 1), depth, tile_windows, interpret)
 
     r2 = jnp.int32(2 * r * r)
     delta = r2 * ab[: nw - 1] + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
