@@ -46,11 +46,18 @@ def find_genes(
     do_return_align: bool = False,
     verbose: bool = True,
     kmer_dist_threshold_buffer: float = 8.0,
+    devices: int | None = None,
+    checkpoint_path: str | None = None,
 ) -> list:
     """Single-profile homology search (ref API.jl:60-104).
 
     Returns ``[hits]`` plus, in priority order when requested, hit loci,
     alignments and per-window distances.
+
+    Beyond the reference surface: ``devices`` runs the scan SPMD over the
+    first N devices of the default backend (parallel/sharded_scan.py), and
+    ``checkpoint_path`` enables per-record checkpoint/resume
+    (utils/checkpoint.py).
     """
     if verbose:
         logger.info("pre-processing references and parameters...")
@@ -76,6 +83,15 @@ def find_genes(
 
     if verbose:
         logger.info("initializing iteration...")
+    engine = None
+    if devices is not None:
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded_scan import ShardedScanEngine
+
+        engine = ShardedScanEngine(
+            profile.sum_kfv, k=k, ws=profile.windowsize, r=profile.n_records,
+            mesh=make_mesh(devices),
+        )
     res = mine_genome(
         genome_path,
         profile,
@@ -87,6 +103,8 @@ def find_genes(
         do_return_dists=do_return_dists,
         do_return_align=do_return_align,
         get_hit_loci=do_return_hit_loci,
+        engine=engine,
+        checkpoint_path=checkpoint_path,
     )
 
     out: list = [res.hits]
@@ -116,8 +134,12 @@ def find_genes_cluster_mode(
     do_return_align: bool = False,
     verbose: bool = True,
     kmer_dist_threshold_buffer: float = 7.0,
+    devices: int | None = None,
 ) -> list:
-    """Cluster-mode (multi-profile) homology search (ref API.jl:161-226)."""
+    """Cluster-mode (multi-profile) homology search (ref API.jl:161-226).
+
+    ``devices`` (beyond the reference surface) runs the fused multi-profile
+    scan SPMD over the first N devices (parallel/sharded_scan.py)."""
     from .models.omn_miner import mine_genome_clusters
 
     if cluster_cutoffs is None:
@@ -151,9 +173,16 @@ def find_genes_cluster_mode(
 
     if verbose:
         logger.info("initializing iteration...")
+    engine = None
+    if devices is not None:
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded_scan import ShardedClusterScanEngine
+
+        engine = ShardedClusterScanEngine(clusters.profiles, k=k, mesh=make_mesh(devices))
     res = mine_genome_clusters(
         genome_path,
         clusters.profiles,
+        engine=engine,
         thr_vec=list(map(float, kmer_dist_thrs)),
         buff=buffer,
         do_align=do_align,

@@ -42,6 +42,7 @@ def mine_genome_clusters(
     do_return_dists: bool = False,
     do_return_align: bool = False,
     get_hit_loci: bool = False,
+    engine: ClusterScanEngine | None = None,
 ) -> MineResult:
     m = len(profiles)
     if len(thr_vec) != m:
@@ -52,8 +53,9 @@ def mine_genome_clusters(
     # ONE fused device pass per record for all m clusters (K codes and the
     # pair-count hot loop shared per distinct windowsize) - this beats the
     # reference's m x slowdown (OmnGenomeMiner.jl / README.md:50) instead of
-    # reproducing it with m serial engines.
-    cluster_engine = ClusterScanEngine(profiles, k=k)
+    # reproducing it with m serial engines.  ``engine`` may supply a
+    # ShardedClusterScanEngine for multi-chip runs.
+    cluster_engine = engine if engine is not None else ClusterScanEngine(profiles, k=k)
 
     res = MineResult()
     dist_parts: list[list[np.ndarray]] = [[] for _ in range(m)]

@@ -335,6 +335,41 @@ def _scan_regions_compact(codes_dev, starts, n_valid, s_profile, thr_int, *, k, 
     return jax.lax.map(one, starts)
 
 
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "cap", "use_pallas"))
+def _scan_region_rows_compact(rows, limits, s_profile, thr_int, *, k, ws, r, rspan, n_regions, cap, use_pallas):
+    """Compact region fetch over PRE-SLICED region rows (the sharded-engine
+    variant of _scan_regions_compact: when the record lives sharded across
+    devices, the rare active regions are shipped as explicit (n_regions,
+    rspan + ws - 1) rows instead of sliced from a whole-record device array).
+    ``limits`` is the per-row count of valid windows (nw - start, clamped)."""
+
+    def one(args):
+        codes, limit = args
+        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+        valid = jnp.arange(rspan, dtype=jnp.int32) < limit
+        below = (d < thr_int[0]) & valid
+        bitmask = jnp.sum(
+            below.reshape(rspan // 32, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, :],
+            axis=1,
+        )
+        big = jnp.int32(2**31 - 1)
+        vals, idx = jax.lax.top_k(-jnp.where(valid, d, big), cap)
+        return d[0], bitmask, -vals, idx
+
+    return jax.lax.map(one, (rows, limits))
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
+def _scan_region_rows_d(rows, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Full-distance region fetch over pre-sliced rows (overflow fallback)."""
+
+    def one(codes):
+        return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+
+    return jax.lax.map(one, rows)
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
 def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))
@@ -532,15 +567,21 @@ class ScanEngine:
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
 
-    def _assemble_stream(self, prep: PreparedCodes, nw: int, thr: float, bitmaps: np.ndarray):
+    def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray):
         """Turn a record's activity bitmaps into the exact candidate stream.
 
         Recomputes the few active regions exactly on device (compact
         fetch-back) and assembles the sorted (window index >= 1, exact
         distance) stream plus the record's first-window distance.  Shared by
-        the single-profile path and the one-pass cluster engine
-        (ops/scan_cluster.py), which computes all clusters' bitmaps in one
-        device pass but assembles per-cluster streams through here.
+        the single-profile path, the one-pass cluster engine
+        (ops/scan_cluster.py) and the sharded engines
+        (parallel/sharded_scan.py), which compute bitmaps their own way but
+        assemble streams through here.
+
+        ``source`` is either a PreparedCodes (regions sliced from the
+        whole-record device array) or the record's host codes (regions
+        shipped as explicit rows - the sharded path, where no single device
+        holds the whole record).
         """
         thr_int = self._thr_int(thr)
         thr_dev = jnp.asarray(np.asarray([thr_int], dtype=np.int32))
@@ -561,17 +602,9 @@ class ScanEngine:
         n_regions = _span_bucket(len(starts))
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
-        nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
         cap = min(self.region_cap, rspan)
-        d0s, masks, vals, idxs = _with_retry(
-            lambda: jax.tree.map(
-                np.asarray,
-                _scan_regions_compact(
-                    prep.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
-                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                    n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
-                ),
-            )
+        d0s, masks, vals, idxs = self._fetch_regions_compact(
+            source, starts_pad, nw, thr_dev, rspan, n_regions, cap
         )
         if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
@@ -616,15 +649,7 @@ class ScanEngine:
             n_over = _span_bucket(len(overflow))
             ostarts = np.zeros(n_over, dtype=np.int32)
             ostarts[: len(overflow)] = [starts[i] for i in overflow]
-            ds = _with_retry(
-                lambda: np.asarray(
-                    _scan_regions_d(
-                        prep.dev, jnp.asarray(ostarts), self.s_dev,
-                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                        n_regions=n_over, use_pallas=self.use_pallas,
-                    )
-                )
-            )
+            ds = self._fetch_regions_full(source, ostarts, rspan, n_over)
             for i, d in zip(overflow, ds):
                 start = starts[i]
                 limit = min(rspan, nw - start)
@@ -647,6 +672,64 @@ class ScanEngine:
         stream.extend(zip(gidx[keep].tolist(), gvals[keep].tolist()))
 
         return dist0, stream
+
+    def _region_rows(self, codes_np: np.ndarray, starts, rspan: int) -> np.ndarray:
+        """Slice (and zero-pad) explicit region rows from host codes."""
+        rows = np.zeros((len(starts), rspan + self.ws - 1), dtype=np.int8)
+        for i, s in enumerate(starts):
+            seg = codes_np[int(s) : int(s) + rspan + self.ws - 1]
+            rows[i, : seg.shape[0]] = seg
+        return rows
+
+    def _fetch_regions_compact(self, source, starts_pad, nw, thr_dev, rspan, n_regions, cap):
+        if isinstance(source, PreparedCodes):
+            nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
+            return _with_retry(
+                lambda: jax.tree.map(
+                    np.asarray,
+                    _scan_regions_compact(
+                        source.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
+                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                        n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
+                    ),
+                )
+            )
+        rows = self._region_rows(source, starts_pad, rspan)
+        limits = np.minimum(
+            rspan, np.maximum(0, nw - starts_pad.astype(np.int64))
+        ).astype(np.int32)
+        return _with_retry(
+            lambda: jax.tree.map(
+                np.asarray,
+                _scan_region_rows_compact(
+                    jnp.asarray(rows), jnp.asarray(limits), self.s_dev, thr_dev,
+                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                    n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
+                ),
+            )
+        )
+
+    def _fetch_regions_full(self, source, ostarts, rspan, n_over):
+        if isinstance(source, PreparedCodes):
+            return _with_retry(
+                lambda: np.asarray(
+                    _scan_regions_d(
+                        source.dev, jnp.asarray(ostarts), self.s_dev,
+                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                        n_regions=n_over, use_pallas=self.use_pallas,
+                    )
+                )
+            )
+        rows = self._region_rows(source, ostarts, rspan)
+        return _with_retry(
+            lambda: np.asarray(
+                _scan_region_rows_d(
+                    jnp.asarray(rows), self.s_dev,
+                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                    n_regions=n_over, use_pallas=self.use_pallas,
+                )
+            )
+        )
 
     def _stream_from_full(self, d: np.ndarray, offset: int, prev_below: bool, thr_int: int, stream: list) -> None:
         below = d < thr_int

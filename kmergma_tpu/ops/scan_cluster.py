@@ -53,6 +53,44 @@ def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
     return jax.lax.fori_loop(1, depth + 1, body, jnp.int32(0))
 
 
+def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block, groups, use_pallas):
+    """Activity bitmaps of one span for ALL clusters: (m, span // block).
+
+    ``codes_span`` holds span + max_ws - 1 codes; ``pos`` the span's global
+    window indices (for validity masking); groups/s_stack/thr_ints as in
+    _cluster_record_bitmaps.  K codes and the pair-count hot loop (ab, p0)
+    are computed once per windowsize group; only the cheap profile tail
+    runs per cluster.  Shared by the single-device and sharded passes.
+    """
+    span = pos.shape[0]
+    m = s_stack.shape[0]
+    kcodes_all = rolling_kmer_codes_jnp(codes_span, k)
+    bitmaps: list = [None] * m
+    for ws, depth, idxs, rs in groups:
+        w = ws - k + 1
+        kc = jax.lax.slice(kcodes_all, (0,), (span + w - 1,))
+        nt = span - 1
+        if use_pallas:
+            from .scan_pallas import pair_ab_from_kcodes
+
+            ab = pair_ab_from_kcodes(kc, w, nt, depth)
+        else:
+            ab = _pair_ab_xla(kc, w, nt, depth)
+        p0 = _shared_p0(kc, w, depth)
+        for ci, r in zip(idxs, rs):
+            g = profile_lookup(kc, s_stack[ci])
+            l0 = (
+                jnp.int32(r * r) * (jnp.int32(w) + 2 * p0)
+                - jnp.int32(2 * r) * jnp.sum(g[:w])
+                + s2[ci]
+            )
+            delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[:nt] - g[w : w + nt])
+            bounds = jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
+            below = (bounds < thr_ints[ci]) & (pos < n_valids[ci])
+            bitmaps[ci] = below.reshape(span // block, block).any(axis=1)
+    return jnp.stack(bitmaps)
+
+
 @partial(jax.jit, static_argnames=("k", "span", "block", "n_spans", "use_pallas", "groups"))
 def _cluster_record_bitmaps(
     codes_dev, n_valids, s_stack, thr_ints, *, k, span, block, n_spans, use_pallas, groups
@@ -67,38 +105,16 @@ def _cluster_record_bitmaps(
     Returns bool[n_spans, m, span // block].
     """
     max_ws = max(g[0] for g in groups)
-    m = s_stack.shape[0]
     s2 = jnp.sum(s_stack * s_stack, axis=1)  # (m,) ||S_m||^2
 
     def step(_, i):
         start = i * span
         codes = jax.lax.dynamic_slice(codes_dev, (start,), (span + max_ws - 1,))
-        kcodes_all = rolling_kmer_codes_jnp(codes, k)  # span + max_w - 1 codes
         pos = start + jnp.arange(span, dtype=jnp.int32)
-        bitmaps: list = [None] * m
-        for ws, depth, idxs, rs in groups:
-            w = ws - k + 1
-            kc = jax.lax.slice(kcodes_all, (0,), (span + w - 1,))
-            nt = span - 1
-            if use_pallas:
-                from .scan_pallas import pair_ab_from_kcodes
-
-                ab = pair_ab_from_kcodes(kc, w, nt, depth)
-            else:
-                ab = _pair_ab_xla(kc, w, nt, depth)
-            p0 = _shared_p0(kc, w, depth)
-            for ci, r in zip(idxs, rs):
-                g = profile_lookup(kc, s_stack[ci])
-                l0 = (
-                    jnp.int32(r * r) * (jnp.int32(w) + 2 * p0)
-                    - jnp.int32(2 * r) * jnp.sum(g[:w])
-                    + s2[ci]
-                )
-                delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[:nt] - g[w : w + nt])
-                bounds = jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
-                below = (bounds < thr_ints[ci]) & (pos < n_valids[ci])
-                bitmaps[ci] = below.reshape(span // block, block).any(axis=1)
-        return _, jnp.stack(bitmaps)
+        return _, _span_bitmaps(
+            codes, pos, s_stack, thr_ints, n_valids, s2,
+            k=k, block=block, groups=groups, use_pallas=use_pallas,
+        )
 
     _, out = jax.lax.scan(step, 0, jnp.arange(n_spans))
     return out  # (n_spans, m, span // block)

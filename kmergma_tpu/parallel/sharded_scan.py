@@ -2,21 +2,31 @@
 
 The TPU-native replacement for the reference's (disabled) per-record thread
 fan-out (ref /root/reference/src/MultiThread/GenomeMiner.jl:101-145) and the
-distribution layer the reference lacks (SURVEY.md sections 2.2, 5.8):
+distribution layer the reference lacks (SURVEY.md sections 2.2, 5.8).
 
-  * the genome is cut into overlapped tiles (halo = ws - 1 bp) so every tile
-    computes its windows independently (each tile's first-window spectrum is
-    recomputed in-tile, exactly like the reference does per record);
-  * tiles are sharded over the mesh's ``data`` axis; the reference profile
-    is replicated;
-  * each shard emits fixed-capacity candidate buffers (indices + scaled
-    distances + per-tile below-threshold edge flags) which are combined
-    with ``all_gather`` over ICI;
-  * the host replays the sequential minima state machine over the merged
-    sparse stream - bit-exact with the single-device path by construction.
+PRODUCTION parity with the single-device ScanEngine: the sharded bitmap pass
+uses the same certified lower-bound pruning (depth-limited pair counts), the
+same Pallas kernels, and packed 4-bases/byte H2D - each device receives ONE
+quarter-packed transfer of its contiguous genome region (its spans plus a
+ws-1 halo), unpacks on device, and runs the pruned span scan locally:
 
-Cluster mode shards profiles over the ``clusters`` axis ("one expert per
-reference cluster") on top of the tile axis.
+  * the genome's window axis is cut into fixed spans; device d owns spans
+    [d*spd, (d+1)*spd) - the sequence/context-parallel axis (overlapped
+    tiling: each span's first-window spectrum is recomputed in-span);
+  * the reference profile stack is replicated; per-device activity bitmaps
+    are combined with ``all_gather`` over the ``data`` axis (ICI);
+  * the rare active regions are recomputed exactly through the shared
+    ScanEngine region machinery (explicit region rows - no device holds the
+    whole record), and the host replays the sequential minima state machine
+    over the merged sparse stream - bit-exact with the single-device path.
+
+Cluster mode reuses the same pass with the m-profile group structure of
+ops/scan_cluster (K codes + pair counts shared across clusters per span), so
+multi-chip cluster scans cost O(G*depth)/bp/device, not m*O(W)/bp.
+
+``sharded_cluster_scan_step`` additionally demonstrates the two-axis
+("clusters" x "data") expert-style sharding of profiles for pod-scale runs
+where m is large enough to shard.
 """
 
 from __future__ import annotations
@@ -28,7 +38,200 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.scan import scan_window_distances
+from ..ops.scan import (
+    ScanEngine,
+    _span_bucket,
+    _unpack_codes,
+    _with_retry,
+    scan_window_distances,
+)
+from ..ops.scan_cluster import ClusterScanEngine, _span_bitmaps
+
+
+def _pack_region_rows(codes: np.ndarray, n_dev: int, spd: int, span: int, max_ws: int) -> np.ndarray:
+    """Quarter-pack each device's contiguous region (spd spans + halo).
+
+    Returns uint8[n_dev, region_len // 4]; device d's row covers codes
+    [d*spd*span, d*spd*span + region_len), zero-padded past the record end.
+    """
+    from ..utils.native import pack_quarters_native
+
+    region_len = spd * span + max_ws - 1
+    region_len = -(-region_len // 4) * 4
+    rows = np.empty((n_dev, region_len // 4), dtype=np.uint8)
+    for d in range(n_dev):
+        lo = d * spd * span
+        seg = codes[lo : lo + region_len]
+        packed = pack_quarters_native(seg, region_len)
+        if packed is None:  # pure-numpy fallback (no g++ toolchain)
+            padded = np.zeros(region_len, dtype=np.uint8)
+            padded[: seg.shape[0]] = seg.view(np.uint8)
+            q = padded.reshape(4, region_len // 4)
+            packed = (q[0] | (q[1] << 2) | (q[2] << 4) | (q[3] << 6)).astype(np.uint8)
+        rows[d] = packed
+    return rows
+
+
+@partial(jax.jit, static_argnames=("k", "span", "spd", "block", "use_pallas", "groups", "mesh"))
+def _sharded_record_bitmaps(
+    packed_rows, n_valids, s_stack, thr_ints, *, k, span, spd, block, use_pallas, groups, mesh
+):
+    """Activity bitmaps for all clusters, sharded over the mesh's ``data``
+    axis.  Each device unpacks its packed region once, scans its spd local
+    spans with the pruned (lower-bound) pass, and the per-device bitmaps are
+    merged with one all_gather.  Returns bool[n_dev*spd, m, span // block].
+    """
+    max_ws = max(g[0] for g in groups)
+
+    def per_shard(packed_local, n_v, s_st, thr_i):
+        codes = _unpack_codes(packed_local[0])
+        base = jax.lax.axis_index("data").astype(jnp.int32) * jnp.int32(spd * span)
+        s2 = jnp.sum(s_st * s_st, axis=1)
+
+        def step(_, i):
+            start = i * span
+            c = jax.lax.dynamic_slice(codes, (start,), (span + max_ws - 1,))
+            pos = base + start + jnp.arange(span, dtype=jnp.int32)
+            return _, _span_bitmaps(
+                c, pos, s_st, thr_i, n_v, s2,
+                k=k, block=block, groups=groups, use_pallas=use_pallas,
+            )
+
+        _, bm = jax.lax.scan(step, 0, jnp.arange(spd))  # (spd, m, blocks)
+        return jax.lax.all_gather(bm, "data", axis=0, tiled=True)
+
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # outputs are value-replicated after all_gather
+    )(packed_rows, n_valids, s_stack, thr_ints)
+
+
+class ShardedScanEngine(ScanEngine):
+    """ScanEngine whose bitmap pass runs SPMD over a device mesh.
+
+    Drop-in: produces the identical (dist0, stream) contract consumed by
+    the host state-machine replay, bit-exact with the single-device engine
+    (asserted by tests/test_parallel.py and __graft_entry__.dryrun_multichip
+    against the golden hit sets).
+    """
+
+    def __init__(
+        self,
+        s_profile: np.ndarray,
+        k: int,
+        ws: int,
+        r: int,
+        mesh: Mesh | None = None,
+        chunk_windows: int | None = None,
+        use_pallas: bool | None = None,
+        bound_depth: int | None = 32,
+    ):
+        from .mesh import make_mesh
+
+        super().__init__(
+            s_profile, k=k, ws=ws, r=r, chunk_windows=chunk_windows,
+            use_pallas=use_pallas, bound_depth=bound_depth,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+    @property
+    def _groups(self):
+        depth = self.bound_depth if self.bound_depth is not None else self.ws - self.k
+        return ((self.ws, depth, (0,), (self.r,)),)
+
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
+        if collect_dists:  # debug path stays single-device
+            return super().record_stream(codes, thr, collect_dists=True, codes_dev=codes_dev)
+        codes = np.asarray(codes, dtype=np.int8)
+        n = codes.shape[0]
+        nw = n - self.ws + 1
+        assert nw >= 1
+        n_dev = self.mesh.shape["data"]
+        n_spans = -(-nw // self.chunk)
+        spd = _span_bucket(max(1, -(-n_spans // n_dev)))
+        rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.ws)
+        rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
+        bitmaps = _with_retry(
+            lambda: np.asarray(
+                _sharded_record_bitmaps(
+                    rows_dev,
+                    jnp.asarray(np.asarray([nw], dtype=np.int32)),
+                    self.s_dev[None],
+                    jnp.asarray(np.asarray([self._thr_int(thr)], dtype=np.int32)),
+                    k=self.k, span=self.chunk, spd=spd, block=self.block,
+                    use_pallas=self.use_pallas, groups=self._groups, mesh=self.mesh,
+                )
+            )
+        )
+        dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps[:, 0, :].reshape(-1))
+        return dist0, stream, None
+
+
+class ShardedClusterScanEngine(ClusterScanEngine):
+    """ClusterScanEngine whose fused multi-profile bitmap pass runs SPMD
+    over the mesh's ``data`` axis (profiles replicated; K codes and pair
+    counts still shared across clusters per span)."""
+
+    def __init__(
+        self,
+        profiles: list,
+        k: int,
+        mesh: Mesh | None = None,
+        chunk_windows: int | None = None,
+        use_pallas: bool | None = None,
+        bound_depth: int | None = 32,
+    ):
+        from .mesh import make_mesh
+
+        super().__init__(
+            profiles, k, chunk_windows=chunk_windows,
+            use_pallas=use_pallas, bound_depth=bound_depth,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+    def prepare_codes(self, codes: np.ndarray):
+        return None  # regions are fetched from host codes; no shared device array
+
+    def record_streams(self, codes: np.ndarray, thrs: list[float], codes_dev=None):
+        if len(thrs) != len(self.engines):
+            raise ValueError(f"{len(self.engines)} clusters but {len(thrs)} thresholds")
+        codes = np.asarray(codes, dtype=np.int8)
+        n = codes.shape[0]
+        n_valids = np.array([n - e.ws + 1 for e in self.engines], dtype=np.int32)
+        if (n_valids < 1).any():
+            raise ValueError("record shorter than a cluster windowsize")
+        thr_ints = np.array(
+            [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
+        )
+        n_dev = self.mesh.shape["data"]
+        n_spans = -(-int(n_valids.max()) // self.chunk)
+        spd = _span_bucket(max(1, -(-n_spans // n_dev)))
+        rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.max_ws)
+        rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
+        bitmaps = _with_retry(
+            lambda: np.asarray(
+                _sharded_record_bitmaps(
+                    rows_dev, jnp.asarray(n_valids), self.s_stack, jnp.asarray(thr_ints),
+                    k=self.k, span=self.chunk, spd=spd, block=self.block,
+                    use_pallas=self.use_pallas, groups=self.groups, mesh=self.mesh,
+                )
+            )
+        )
+        out = []
+        for ci, (eng, thr) in enumerate(zip(self.engines, thrs)):
+            bm = bitmaps[:, ci, :].reshape(-1)
+            dist0, stream = eng._assemble_stream(codes, int(n_valids[ci]), thr, bm)
+            out.append((dist0, stream))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Two-axis expert-style step (profiles sharded over "clusters"): pod-scale
+# demonstration used by dryrun_multichip and tests/test_parallel.py.
+# ---------------------------------------------------------------------------
 
 
 def _tile_kernel(codes_tile, s_profile, thr_int, k: int, ws: int, r: int, cap: int):
@@ -37,7 +240,6 @@ def _tile_kernel(codes_tile, s_profile, thr_int, k: int, ws: int, r: int, cap: i
     below = d < thr_int
     prevb = jnp.concatenate([jnp.zeros(1, dtype=bool), below[:-1]])
     mask = below | prevb
-    # top_k compaction (ascending indices), as in ops.scan._scan_chunk_compact
     t = d.shape[0]
     score = jnp.where(mask, t - jnp.arange(t, dtype=jnp.int32), 0)
     top, _ = jax.lax.top_k(score, min(cap, t))
@@ -46,27 +248,7 @@ def _tile_kernel(codes_tile, s_profile, thr_int, k: int, ws: int, r: int, cap: i
     idx = jnp.where(top > 0, t - top, 0)
     vals = d[idx]
     count = mask.sum()
-    # first-window flag feeds the next tile's rising-edge detection on host
     return d[0], count, idx.astype(jnp.int32), vals, below[0], below[-1]
-
-
-@partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "mesh"))
-def _sharded_scan(codes_tiles, s_profile, thr_int, *, k, ws, r, cap, mesh):
-    """codes_tiles: (n_tiles, tile_len + ws - 1) int8, sharded on axis 0."""
-
-    def per_shard(local_tiles, s_prof, thr):
-        f = jax.vmap(lambda t: _tile_kernel(t, s_prof, thr[0], k, ws, r, cap))
-        outs = f(local_tiles)
-        return tuple(jax.lax.all_gather(o, "data", axis=0, tiled=True) for o in outs)
-
-    shard_fn = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P("data", None), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P()),
-        check_vma=False,  # outputs are value-replicated after all_gather
-    )
-    return shard_fn(codes_tiles, s_profile, thr_int)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "cap", "mesh"))
@@ -74,9 +256,6 @@ def sharded_cluster_scan_step(codes_tiles, s_profiles, thr_ints, *, k, ws, r, ca
     """Full multi-axis SPMD scan step: profiles sharded over ``clusters``
     ("one expert per reference cluster"), genome tiles sharded over ``data``,
     per-shard candidate buffers combined with all_gather over both axes.
-
-    This is the framework's flagship multi-chip step (used by
-    __graft_entry__.dryrun_multichip and the pod-scale scan path).
     """
 
     def per_shard(local_tiles, local_profiles, local_thrs):
@@ -116,104 +295,3 @@ def make_tiles(codes: np.ndarray, tile_windows: int, ws: int, n_tiles_round: int
         chunk = codes[lo : min(lo + tile_len, n)]
         tiles[t, : chunk.shape[0]] = chunk
     return tiles, nw
-
-
-class ShardedScanEngine:
-    """Drop-in ScanEngine alternative that runs the scan SPMD over a mesh.
-
-    Produces the identical (dist0, stream) contract consumed by the host
-    state-machine replay (models/state_machine.replay_single).
-    """
-
-    def __init__(
-        self,
-        s_profile: np.ndarray,
-        k: int,
-        ws: int,
-        r: int,
-        mesh: Mesh | None = None,
-        tile_windows: int = 1 << 16,
-        cap: int = 1 << 12,
-    ):
-        from .mesh import make_mesh
-
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.k, self.ws, self.r = k, ws, r
-        self.tile_windows = tile_windows
-        self.cap = cap
-        self.scale = 2.0 * k * r * r
-        self.s_dev = jnp.asarray(s_profile.astype(np.int32))
-        self.n_data = self.mesh.shape["data"] * self.mesh.shape["clusters"]
-
-    def _thr_int(self, thr: float) -> np.ndarray:
-        return np.asarray([min(np.floor(thr * self.scale) + 2, 2**31 - 1)], dtype=np.int32)
-
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False):
-        if collect_dists:  # debug path stays single-device
-            from ..ops.scan import ScanEngine
-
-            eng = ScanEngine(np.asarray(self.s_dev), self.k, self.ws, self.r)
-            return eng.record_stream(codes, thr, collect_dists=True)
-
-        n_shards = self.mesh.shape["data"]
-        tiles, nw = make_tiles(codes, self.tile_windows, self.ws, n_shards)
-        tiles_dev = jax.device_put(tiles, NamedSharding(self.mesh, P("data", None)))
-
-        d0s, counts, idxs, vals, below0, below_last = _sharded_scan(
-            tiles_dev,
-            self.s_dev,
-            jnp.asarray(self._thr_int(thr)),
-            k=self.k,
-            ws=self.ws,
-            r=self.r,
-            cap=self.cap,
-            mesh=self.mesh,
-        )
-        d0s = np.asarray(d0s)
-        counts = np.asarray(counts)
-        idxs = np.asarray(idxs)
-        vals = np.asarray(vals)
-        below_last = np.asarray(below_last)
-        below0 = np.asarray(below0)
-
-        n_tiles = -(-nw // self.tile_windows)
-        stream: list[tuple[int, float]] = []
-        for t in range(n_tiles):
-            t_start = t * self.tile_windows
-            t_count = min(self.tile_windows, nw - t_start)
-            c = int(counts[t])
-            if c > self.cap:
-                # overflow fallback: rescan this tile densely
-                from ..ops.scan import _scan_chunk_full
-
-                d = np.asarray(
-                    _scan_chunk_full(
-                        jnp.asarray(tiles[t]), self.s_dev, self.k, self.ws, self.r
-                    )
-                )[:t_count]
-                below = d < self._thr_int(thr)[0]
-                mask = below.copy()
-                mask[1:] |= below[:-1]
-                mask[0] |= bool(below_last[t - 1]) if t > 0 else False
-                for j in np.nonzero(mask)[0]:
-                    gj = t_start + int(j)
-                    if gj >= 1:
-                        stream.append((gj, float(d[j]) / self.scale))
-                continue
-            sel = idxs[t, :c]
-            sv = vals[t, :c]
-            # boundary fix-up: if the previous tile's last window was below
-            # threshold and this tile's first window is not a candidate,
-            # window t_start is a rising edge the tile could not see.
-            if t > 0 and bool(below_last[t - 1]) and (c == 0 or sel[0] != 0):
-                stream.append((t_start, float(d0s[t]) / self.scale))
-            for j, v in zip(sel, sv):
-                j = int(j)
-                if j >= t_count:
-                    continue  # padded region of the last tile
-                gj = t_start + j
-                if gj >= 1:
-                    stream.append((gj, float(v) / self.scale))
-
-        dist0 = float(d0s[0]) / self.scale
-        return dist0, stream, None

@@ -9,7 +9,7 @@ import jax
 from kmergma_tpu.ops.reference import gen_ref_ws_cons
 from kmergma_tpu.ops.scan import ScanEngine
 from kmergma_tpu.parallel.mesh import make_mesh
-from kmergma_tpu.parallel.sharded_scan import ShardedScanEngine
+from kmergma_tpu.parallel.sharded_scan import ShardedClusterScanEngine, ShardedScanEngine
 
 
 def test_mesh_shapes():
@@ -27,24 +27,18 @@ def test_sharded_stream_equals_single_device():
 
     single = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=4096)
     thr_probe, stream_probe, _ = single.record_stream(codes, thr=1e9)
-    # pick a threshold that creates runs crossing tile boundaries
+    # pick a threshold that creates runs crossing span boundaries
     vals = np.array([v for _, v in stream_probe])
     thr = float(np.percentile(vals, 4))
 
     d0_a, stream_a, _ = single.record_stream(codes, thr)
-    sharded = ShardedScanEngine(s, k=k, ws=ws, r=r, mesh=make_mesh(8), tile_windows=2048)
+    sharded = ShardedScanEngine(s, k=k, ws=ws, r=r, mesh=make_mesh(8), chunk_windows=2048)
     d0_b, stream_b, _ = sharded.record_stream(codes, thr)
 
+    # production parity: the sharded engine IS the pruned-bitmap engine,
+    # so the streams are bit-identical (not just equivalent under replay)
     assert d0_a == d0_b
-    # below-threshold entries must agree exactly (values feed hit records);
-    # rising edges must agree on position (edge values are free to be any
-    # stand-in >= thr - see ops.scan._scan_regions_compact)
-    below_a = sorted((j, v) for j, v in set(stream_a) if v < thr)
-    below_b = sorted((j, v) for j, v in set(stream_b) if v < thr)
-    assert below_a == below_b
-    edges_a = sorted(j for j, v in set(stream_a) if v >= thr)
-    edges_b = sorted(j for j, v in set(stream_b) if v >= thr)
-    assert edges_a == edges_b
+    assert stream_a == stream_b
 
     from kmergma_tpu.models.state_machine import replay_single
 
@@ -60,10 +54,60 @@ def test_sharded_miner_golden(ref_fasta, test_genome):
     profile = gen_ref_ws_cons(ref_fasta, 6)
     engine = ShardedScanEngine(
         profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
-        mesh=make_mesh(8), tile_windows=8192,
+        mesh=make_mesh(8), chunk_windows=8192,
     )
     res = mine_genome(test_genome, profile, thr=30, do_align=True, get_hit_loci=True, engine=engine)
     assert res.hit_loci == [8543, 20425, 221912, 234018, 450875, 467930, 477868]
+
+
+def test_find_genes_devices_golden(mini_genome, ref_fasta):
+    """The public API's ``devices=`` path must reproduce the golden hit set."""
+    from kmergma_tpu.api import find_genes
+
+    from tests.test_api_golden import REFERENCE_GOLDEN_HITS
+
+    hits = find_genes(
+        genome_path=mini_genome, ref_path=ref_fasta, verbose=False, devices=8
+    )[0]
+    assert [h.description for h in hits] == REFERENCE_GOLDEN_HITS
+
+
+def test_find_genes_cluster_mode_devices_golden(mini_genome, ref_fasta):
+    from kmergma_tpu.api import find_genes_cluster_mode
+
+    hits = find_genes_cluster_mode(
+        genome_path=mini_genome,
+        ref_path=ref_fasta,
+        kmer_dist_thrs=[35.0, 31.0, 38.0, 34.0, 27.0, 27.0],
+        buffer=100,
+        verbose=False,
+        devices=8,
+    )[0]
+    assert [h.description for h in hits] == [
+        "AM773548.1 | Dist = 20.17 | KFV = 3 | MatchPos = 6852:7139 | GenomePos = 0 | Len = 288",
+        "AM773548.1 | Dist = 33.96 | KFV = 4 | MatchPos = 23907:24193 | GenomePos = 0 | Len = 287",
+        "AM773548.1 | Dist = 26.17 | KFV = 3 | MatchPos = 33845:34132 | GenomePos = 0 | Len = 288",
+    ]
+
+
+def test_sharded_cluster_streams_match_serial(ref_fasta, mini_genome):
+    """Sharded cluster streams are bit-identical to the fused single-device
+    cluster engine on real data."""
+    from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+    from kmergma_tpu.utils.fasta import as_records
+
+    clusters = eliminate_null_params(cluster_ref_api(ref_fasta, 6, cutoffs=[7, 12, 20, 25]))
+    record = as_records(mini_genome)[0]
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0]
+
+    fused = ClusterScanEngine(clusters.profiles, k=6, chunk_windows=8192)
+    sharded = ShardedClusterScanEngine(
+        clusters.profiles, k=6, mesh=make_mesh(8), chunk_windows=8192
+    )
+    a = fused.record_streams(record.codes, thrs)
+    b = sharded.record_streams(record.codes, thrs)
+    assert a == b
 
 
 def test_dryrun_multichip():
