@@ -1,24 +1,30 @@
-"""Fully-fused Mosaic scan kernel: K codes in, activity bitmap out.
+"""Fully-fused Mosaic scan kernel: raw 2-bit codes in, activity bitmap out.
 
-The XLA glue around the match-count kernel (gather of S[K], overlapped tile
-arrangement, cumulative sum, thresholding, bitmap reduction) costs several
-times the kernel itself on TPU and minutes of remote compile; this kernel
-fuses the whole per-span pipeline after the (cheap, fused-by-XLA) rolling
-K-code computation:
+The split pipeline (ops/scan.py bitmap pass) spends more time in XLA glue
+than in the pair kernel itself - measured on v5e per 33.5M-window span:
+rolling K-code build 25.1 ms (six unaligned genome-length lane rotations),
+profile lookup +9.1 ms, delta+cumsum +9 ms, versus 31.9 ms for the pair
+kernel.  This kernel fuses the ENTIRE lower-bound bitmap pass after the H2D
+unpack; per grid step (ROWS tiles, everything VMEM-resident):
 
-  per grid step (ROWS tiles, VMEM-resident):
-    1. depth-W match-count loop (incremental +-1 cyclic rolls),
-    2. g = S[K] via a chunked in-kernel gather (32 masked 128-lane
-       take_along_axis gathers - Mosaic supports only narrow 2D gathers),
-    3. exact scaled delta assembly,
-    4. in-lane cumulative sum (log-shift rolls) + cross-row/step absolute
-       base chaining (sequential grid, SMEM carry),
-    5. threshold + per-block any() bitmap.
+  1. rolling K-code build from int8 codes (static unaligned VMEM slices -
+     free compared to the HBM-churning XLA formulation),
+  2. depth-d pair-count loop with a SHARED compare stream per depth:
+     eq_d[i] = (K[i] == K[i+d]) serves both the entering term (shifted by
+     w-d) and the leaving term - 1 compare + 2 adds per depth instead of
+     the split kernel's 2 compares + 2 adds,
+  3. g = S[K] via a chunked in-kernel gather (4^k/128 masked 128-lane
+     take_along_axis gathers against the VMEM-resident profile),
+  4. exact scaled lower-bound delta assembly (2r^2*ab + 2r*(g_l - g_r)),
+  5. in-lane cumulative sum (log-shift rolls) + cross-row/-step absolute
+     base chaining (sequential grid, SMEM carry),
+  6. threshold + validity mask + per-block any() bitmap.
 
-Outputs ONLY the bitmap (1 bit per `block` windows leaves the chip) plus the
-per-step base carry for validation.  Bit-identical to
-ops.scan.scan_window_distances thresholding by construction (tested in
-interpret mode and against the XLA path).
+Only the bitmap (1 bit per ``block`` windows) leaves the core.  The bound
+values are BIT-IDENTICAL to ops.scan.scan_window_lower_bounds (pure integer
+arithmetic, same order), so the bitmap equals the split pass's exactly -
+asserted in tests/test_fused.py and cross-checked against the golden hit
+sets through ScanEngine.
 """
 
 from __future__ import annotations
@@ -31,106 +37,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan import rolling_kmer_codes_jnp
-
-ROWS = 8
+ROWS = 8  # tiles per grid step = sublane count for int32
 
 
-def _lane_cumsum(x):
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _masked_shift_cumsum(x, axis_len):
     """Inclusive cumsum along lanes via log-shift rolls (no cumsum primitive
-    in Mosaic)."""
-    n = x.shape[1]
+    in Mosaic).  jnp.roll wraps, so wrapped-in lanes are masked to zero."""
     sh = 1
-    while sh < n:
-        rolled = pltpu.roll(x, sh, 1)
+    while sh < axis_len:
+        rolled = jnp.roll(x, sh, axis=1)
         mask = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) >= sh
         x = x + jnp.where(mask, rolled, 0)
         sh <<= 1
     return x
-
-
-def _chunked_table_gather(tab_ref, idx):
-    """g = S[idx] for a (ROWS, n) int32 index array against a shared
-    (ROWS, 4^k) table: 4^k/128 masked narrow gathers."""
-    nbins = tab_ref.shape[1]
-    acc = jnp.zeros_like(idx)
-    for c in range(nbins // 128):
-        sub = tab_ref[:, c * 128 : (c + 1) * 128]
-        local = jnp.clip(idx - c * 128, 0, 127)
-        got = jnp.take_along_axis(sub, local, axis=1)
-        acc = acc + jnp.where((idx >= c * 128) & (idx < (c + 1) * 128), got, 0)
-    return acc
-
-
-def _fused_kernel(k_ref, tab_ref, meta_ref, bitmap_ref, carry_ref, *, w: int, t: int, r: int, block: int):
-    """One grid step: ROWS consecutive tiles of t transitions each.
-
-    k_ref: (ROWS, t + w) int32 k-mer codes (tile i covers transitions
-      [base + i*t, base + i*t + t)).
-    tab_ref: (ROWS, 4^k) int32 summed profile S, replicated per row.
-    meta_ref (SMEM): [thr_int, d0] - threshold and the record's first-window
-      scaled distance.
-    bitmap_ref: (ROWS, t // block) int32 output (0/1 activity).
-    carry_ref (SMEM): running absolute D at the start of the step's first tile.
-    """
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        carry_ref[0] = meta_ref[1]
-
-    k_all = k_ref[:, :]
-    kl = k_all[:, :t]
-    kr = k_all[:, w : w + t]
-
-    # --- depth-W match counts (see scan_pallas._match_counts_kernel) ---
-    ka0 = jnp.roll(k_all, -(w - 1), axis=1)
-    zero = jnp.zeros((ROWS, t), dtype=jnp.int32)
-
-    def body(d, carry):
-        a, b, ka, kb = carry
-        a = a + (ka[:, :t] == kr).astype(jnp.int32)
-        b = b + (kb[:, :t] == kl).astype(jnp.int32)
-        return a, b, jnp.roll(ka, 1, axis=1), jnp.roll(kb, -1, axis=1)
-
-    a, b, _, _ = jax.lax.fori_loop(1, w + 1, body, (zero, zero, ka0, k_all))
-
-    # --- delta assembly (exact scaled integers) ---
-    gl = _chunked_table_gather(tab_ref, kl)
-    gr = _chunked_table_gather(tab_ref, kr)
-    r2 = jnp.int32(2 * r * r)
-    delta = r2 * (kl != kr).astype(jnp.int32) + r2 * (a - b) + (2 * r) * (gl - gr)
-
-    # --- absolute distances: in-lane cumsum + row/step base chaining ---
-    csum = _lane_cumsum(delta)  # csum[:, j] = sum of deltas 0..j within row
-    row_tot = csum[:, t - 1 : t]  # (ROWS, 1)
-    # exclusive cumsum across the ROWS rows (tiny log-shift over sublanes)
-    excl = jnp.zeros_like(row_tot)
-    sh = 1
-    while sh < ROWS:
-        rolled = pltpu.roll(row_tot if sh == 1 else roll_src, sh, 0)  # noqa: F821
-        mask = jax.lax.broadcasted_iota(jnp.int32, row_tot.shape, 0) >= sh
-        if sh == 1:
-            excl = jnp.where(mask, rolled, 0)
-            roll_src = row_tot + 0  # running inclusive-shifted accumulator
-        sh <<= 1
-    # NOTE: simple O(ROWS) construction instead (ROWS == 8 is tiny):
-    inc = _sublane_inclusive_cumsum(row_tot)
-    excl = inc - row_tot  # exclusive prefix of row totals
-
-    base = carry_ref[0]
-    # D of window (tile_row, j): base + excl[row] + (csum[j-1]); window j=0
-    # of each row has D = base + excl[row]; windows j>=1 add csum[:, j-1].
-    d_first = base + excl  # (ROWS, 1)
-    d_rest = d_first + csum  # D of windows 1..t (shifted by one)
-    thr = meta_ref[0]
-    below_first = (d_first < thr).astype(jnp.int32)  # window 0 per row
-    below_rest = (d_rest < thr).astype(jnp.int32)  # windows 1..t per row
-    # window j in [0, t): below[j] = below_first if j==0 else below_rest[j-1]
-    below = jnp.concatenate([below_first, below_rest[:, : t - 1]], axis=1)
-
-    bitmap_ref[:, :] = below.reshape(ROWS, t // block, block).max(axis=2)
-    carry_ref[0] = base + inc[ROWS - 1, 0]
 
 
 def _sublane_inclusive_cumsum(x):
@@ -138,51 +61,159 @@ def _sublane_inclusive_cumsum(x):
     out = x
     sh = 1
     while sh < ROWS:
-        rolled = pltpu.roll(out, sh, 0)
+        rolled = jnp.roll(out, sh, axis=0)
         mask = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) >= sh
         out = out + jnp.where(mask, rolled, 0)
         sh <<= 1
     return out
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+def _chunked_table_gather(tab_ref, idx):
+    """g = S[idx] for an (ROWS, n) int32 index array against a shared
+    (ROWS, 4^k) table.
+
+    Mosaic lowers gathers only when the index array has the SAME shape as
+    the source (one lane each), so the lookup is double-chunked: 128-lane
+    slices of the index stream x 4^k/128 table chunks, each a narrow
+    (ROWS, 128) take_along_axis, masked and summed.  ``n`` must be a
+    multiple of 128."""
+    nbins = tab_ref.shape[1]
+    n = idx.shape[1]
+    parts = []
+    for c0 in range(0, n, 128):
+        chunk = idx[:, c0 : c0 + 128]
+        acc = jnp.zeros_like(chunk)
+        for tc in range(nbins // 128):
+            sub = tab_ref[:, tc * 128 : (tc + 1) * 128]
+            local = jnp.clip(chunk - tc * 128, 0, 127)
+            got = jnp.take_along_axis(sub, local, axis=1)
+            acc = acc + jnp.where((chunk >= tc * 128) & (chunk < (tc + 1) * 128), got, 0)
+        parts.append(acc)
+    return jnp.concatenate(parts, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "t", "block", "interpret"))
-def fused_scan_bitmap(
-    kcodes_tiles: jnp.ndarray,
-    s_table: jnp.ndarray,
+def _fused_kernel(
+    main_ref, halo_ref, tab_ref, meta_ref, bitmap_ref, carry_ref,
+    *, k: int, w: int, t: int, r: int, depth: int, block: int,
+):
+    """One grid step: ROWS consecutive tiles of t transitions each.
+
+    main_ref: (ROWS, t) int8 codes (tile row i covers transitions
+      [base + i*t, base + i*t + t); a FREE reshape of the flat record).
+    halo_ref: (ROWS, hw) int8 codes following each row (hw >= w + k - 1).
+    tab_ref: (ROWS, 4^k) int32 summed profile S, row-replicated.
+    meta_ref (SMEM): [thr_int, l0, nw] - threshold, the record's
+      first-window scaled lower bound, and the window count.
+    bitmap_ref: (ROWS, t // block) int32 output (0/1 activity).
+    carry_ref (SMEM): running absolute L at the first window of the step.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[0] = meta_ref[1]
+
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+
+    # --- 1. rolling K codes, VMEM-resident (K[i] of k-mer at lane i) ---
+    # K is needed for lanes [0, t + w); the length is rounded up to a lane
+    # multiple so the gather below can slice clean 128-lane chunks.
+    lk = t + -(-(w + 1) // 128) * 128
+    kcodes = codes[:, :lk] << (2 * (k - 1))
+    for j in range(1, k):
+        kcodes = kcodes + (codes[:, j : j + lk] << (2 * (k - 1 - j)))
+
+    # --- 2. depth-d net pair counts with one shared compare per depth ---
+    #   ab[p] = sum_d eq(K[p+w-d], K[p+w]) - eq(K[p+d], K[p])
+    #         = sum_d eq_d[p+w-d] - eq_d[p],   eq_d[i] = eq(K[i], K[i+d])
+    ab = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    for d in range(1, depth + 1):
+        eq = (kcodes[:, : lk - d] == kcodes[:, d:lk]).astype(jnp.int32)
+        ab = ab + (eq[:, w - d : w - d + t] - eq[:, :t])
+
+    # --- 3. profile projections g = S[K] over all lanes, then slice ---
+    g = _chunked_table_gather(tab_ref, kcodes)
+    gl = g[:, :t]
+    gr = g[:, w : w + t]
+
+    # --- 4. exact scaled lower-bound delta (scan.scan_window_lower_bounds) ---
+    delta = jnp.int32(2 * r * r) * ab + jnp.int32(2 * r) * (gl - gr)
+
+    # --- 5. absolute bounds: in-lane cumsum + row/step base chaining ---
+    csum = _masked_shift_cumsum(delta, t)  # csum[:, j] = sum deltas 0..j in row
+    row_tot = csum[:, t - 1 : t]  # (ROWS, 1)
+    inc = _sublane_inclusive_cumsum(row_tot)
+    excl = inc - row_tot  # exclusive prefix of row totals
+
+    base = carry_ref[0]
+    l_first = base + excl  # L of window j=0 of each row, (ROWS, 1)
+    l_rest = l_first + csum  # L of windows 1..t (shifted by one)
+    thr = meta_ref[0]
+    below_first = (l_first < thr).astype(jnp.int32)
+    below_rest = (l_rest < thr).astype(jnp.int32)
+    # window j in [0, t): below[j] = below_first if j==0 else below_rest[j-1]
+    below = jnp.concatenate([below_first, below_rest[:, : t - 1]], axis=1)
+
+    # --- 6. validity mask + per-block any() ---
+    pos = (
+        (step * ROWS) * t
+        + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 0) * t
+        + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 1)
+    )
+    below = jnp.where(pos < meta_ref[2], below, 0)
+
+    bitmap_ref[:, :] = below.reshape(ROWS, t // block, block).max(axis=2)
+    carry_ref[0] = base + inc[ROWS - 1, 0]
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "t", "block", "n_tiles", "interpret"))
+def fused_record_bitmaps(
+    codes_dev: jnp.ndarray,
+    s_profile: jnp.ndarray,
     meta: jnp.ndarray,
+    *,
     k: int,
     ws: int,
     r: int,
-    t: int = 2048,
+    depth: int,
+    t: int = 8192,
     block: int = 512,
+    n_tiles: int,
     interpret: bool | None = None,
 ):
-    """Run the fused kernel over pre-arranged K-code tiles.
+    """Whole-record fused bitmap pass.
 
-    kcodes_tiles: (n_tiles, t + w) int32 (n_tiles multiple of ROWS).
-    s_table: (ROWS, 4^k) int32 profile, row-replicated.
-    meta: (2,) int32 [thr_int, d0].
-    Returns (n_tiles, t // block) int32 bitmap.
+    codes_dev: int8[>= n_tiles*t + t + hw] unpacked record codes (padded).
+    s_profile: int32[4^k] summed profile.
+    meta: int32[3] = [thr_int, l0, nw] (l0 = the record's first-window
+      scaled lower bound at this depth, scan._lower_bound_base).
+    Returns int32[n_tiles, t // block] activity bitmap (window granularity
+    identical to ops.scan._scan_record_bitmaps's ``block``).
     """
     if interpret is None:
         interpret = _interpret_default()
     w = ws - k + 1
-    n_tiles = kcodes_tiles.shape[0]
+    # codes halo: enough lanes for the (lane-rounded) K range plus k-1
+    hw = -(-(w + 1) // 128) * 128 + 128
+    main = codes_dev[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    table = jnp.broadcast_to(s_profile, (ROWS, s_profile.shape[0]))
     grid = (n_tiles // ROWS,)
     return pl.pallas_call(
-        partial(_fused_kernel, w=w, t=t, r=r, block=block),
+        partial(_fused_kernel, k=k, w=w, t=t, r=r, depth=depth, block=block),
         out_shape=jax.ShapeDtypeStruct((n_tiles, t // block), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, t + w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, s_table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, s_profile.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, t // block), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(kcodes_tiles, s_table, meta)
+    )(main, halo, table, meta)

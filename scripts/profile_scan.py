@@ -24,6 +24,13 @@ codes = rng.integers(0, 4, n_bp, dtype=np.int8)
 eng = S.ScanEngine(profile.sum_kfv, k=k, ws=ws, r=r)
 print(f"chunk={eng.chunk} use_pallas={eng.use_pallas} backend={jax.default_backend()}")
 
+def sync(x):
+    """Force completion with a real fetch (the axon relay's block-until-
+    ready is a no-op; bench.py uses the same np.asarray idiom)."""
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf.ravel()[:4] if hasattr(leaf, "ravel") else leaf)
+    return x
+
 def t(name, fn, n=3):
     fn()  # warm
     ts = []
@@ -35,52 +42,57 @@ def t(name, fn, n=3):
     return min(ts)
 
 # 1. H2D prepare (pack + transfer + unpack)
-t("prepare_codes (H2D+unpack)", lambda: jax.block_until_ready(eng.prepare_codes(codes).dev))
+t("prepare_codes (H2D+unpack)", lambda: sync(eng.prepare_codes(codes).dev))
 prep = eng.prepare_codes(codes)
-jax.block_until_ready(prep.dev)
+sync(prep.dev)
 
 # 2. full record bitmap call (the production path, device only)
 nw = n_bp - ws + 1
 thr_dev = jnp.asarray(np.asarray([eng._thr_int(thr)], dtype=np.int32))
 nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
 def bitmaps():
-    return jax.block_until_ready(S._scan_record_bitmaps(
+    return sync(S._scan_record_bitmaps(
         prep.dev, nv, eng.s_dev, thr_dev, k=k, ws=ws, r=r,
         span=eng.chunk, block=eng.block, n_spans=prep.n_spans, use_pallas=eng.use_pallas,
         depth=eng.bound_depth))
 tb = t("record bitmaps (production)", bitmaps)
 print(f"  -> implied scan-only throughput {n_bp/tb/1e6:.1f} Mbp/s (depth={eng.bound_depth})")
 
-# 2b. lower-bound span pass alone (the per-span body of the bitmap call)
-span_ = eng.chunk
-cd_ = prep.dev[: span_ + ws - 1]
-jax.block_until_ready(cd_)
-def lbspan():
-    return jax.block_until_ready(SP.scan_window_lower_bounds_pallas(
-        cd_, eng.s_dev, k, ws, r, eng.bound_depth))
-tl = t("one span lower bounds", lbspan)
-print(f"  -> {span_/tl/1e6:.1f} Mbp/s")
+# 2b/2c need a pair depth; skip them for exact-mode engines (bound_depth=None)
+if eng.bound_depth is None:
+    print("bound_depth=None (exact mode): skipping lower-bound sections 2b/2c")
+else:
+    # 2b. lower-bound span pass alone (the per-span body of the bitmap call)
+    span_ = eng.chunk
+    cd_ = prep.dev[: span_ + ws - 1]
+    sync(cd_)
+    def lbspan():
+        return sync(SP.scan_window_lower_bounds_pallas(
+            cd_, eng.s_dev, k, ws, r, eng.bound_depth))
+    tl = t("one span lower bounds", lbspan)
+    print(f"  -> {span_/tl/1e6:.1f} Mbp/s")
 
-# 2c. pair_counts kernel alone at production depth
-w_ = ws - k + 1
-kc_ = S.rolling_kmer_codes_jnp(cd_, k)
-tt_ = 8192
-ntp_ = -(-(-(-span_ // tt_)) // SP.ROWS) * SP.ROWS
-hw_ = -(-w_ // 128) * 128
-kp_ = jnp.pad(kc_, (0, ntp_ * tt_ + hw_ - kc_.shape[0]))
-tm_ = kp_[: ntp_ * tt_].reshape(ntp_, tt_)
-th_ = jax.vmap(lambda i: jax.lax.dynamic_slice(kp_, ((i + 1) * tt_,), (hw_,)))(jnp.arange(ntp_))
-jax.block_until_ready((tm_, th_))
-tpc = t("pair_counts kernel alone", lambda: jax.block_until_ready(
-    SP.pair_counts(tm_, th_, w_, tt_, eng.bound_depth)))
-print(f"  -> {span_/tpc/1e6:.1f} Mbp/s")
+    # 2c. pair_counts kernel alone at production depth
+    w_ = ws - k + 1
+    kc_ = S.rolling_kmer_codes_jnp(cd_, k)
+    tt_ = 8192
+    n_tiles_ = -(-span_ // tt_)
+    ntp_ = -(-n_tiles_ // SP.ROWS) * SP.ROWS
+    hw_ = -(-w_ // 128) * 128
+    kp_ = jnp.pad(kc_, (0, ntp_ * tt_ + hw_ - kc_.shape[0]))
+    tm_ = kp_[: ntp_ * tt_].reshape(ntp_, tt_)
+    th_ = jax.vmap(lambda i: jax.lax.dynamic_slice(kp_, ((i + 1) * tt_,), (hw_,)))(jnp.arange(ntp_))
+    sync((tm_, th_))
+    tpc = t("pair_counts kernel alone", lambda: sync(
+        SP.pair_counts(tm_, th_, w_, tt_, eng.bound_depth)))
+    print(f"  -> {span_/tpc/1e6:.1f} Mbp/s")
 
 # 3. single span distances, pallas vs xla
 span = eng.chunk
 cd = prep.dev[: span + ws - 1]
-jax.block_until_ready(cd)
+sync(cd)
 def pall():
-    return jax.block_until_ready(SP.scan_window_distances_pallas(cd, eng.s_dev, k, ws, r))
+    return sync(SP.scan_window_distances_pallas(cd, eng.s_dev, k, ws, r))
 tp = t("one span pallas D", pall)
 print(f"  -> {span/tp/1e6:.1f} Mbp/s")
 
@@ -92,8 +104,8 @@ n_tiles = -(-span // tt)
 n_tiles_pad = -(-n_tiles // SP.ROWS) * SP.ROWS
 kp = jnp.pad(kcodes, (0, n_tiles_pad * tt + w - kcodes.shape[0]))
 tiles = jax.vmap(lambda i: jax.lax.dynamic_slice(kp, (i * tt,), (tt + w,)))(jnp.arange(n_tiles_pad))
-jax.block_until_ready(tiles)
-tk = t("match_counts kernel alone", lambda: jax.block_until_ready(SP.match_counts(tiles, w, tt)))
+sync(tiles)
+tk = t("match_counts kernel alone", lambda: sync(SP.match_counts(tiles, w, tt)))
 print(f"  -> {span/tk/1e6:.1f} Mbp/s")
 
 # 5. XLA glue alone: kcodes + gather + delta + cumsum (no kernel)
@@ -105,14 +117,14 @@ def glue(cd, s):
     kl = kc[: nw1 - 1]; kr = kc[w : w + nw1 - 1]
     delta = jnp.int32(2 * r * r) * (kl != kr) + (2 * r) * (g[: nw1 - 1] - g[w : w + nw1 - 1])
     return jnp.cumsum(delta)
-t("xla glue (kcodes+gather+cumsum)", lambda: jax.block_until_ready(glue(cd, eng.s_dev)))
+t("xla glue (kcodes+gather+cumsum)", lambda: sync(glue(cd, eng.s_dev)))
 
 # 6. gather alone
 @jax.jit
 def gath(cd, s):
     kc = S.rolling_kmer_codes_jnp(cd, k)
     return jnp.take(s, kc)
-t("kcodes+gather alone", lambda: jax.block_until_ready(gath(cd, eng.s_dev)))
+t("kcodes+gather alone", lambda: sync(gath(cd, eng.s_dev)))
 
 # 7. tile build alone
 @jax.jit
@@ -120,4 +132,4 @@ def tb_(cd):
     kc = S.rolling_kmer_codes_jnp(cd, k)
     kp = jnp.pad(kc, (0, n_tiles_pad * tt + w - kc.shape[0]))
     return jax.vmap(lambda i: jax.lax.dynamic_slice(kp, (i * tt,), (tt + w,)))(jnp.arange(n_tiles_pad))
-t("kcodes+tile build alone", lambda: jax.block_until_ready(tb_(cd)))
+t("kcodes+tile build alone", lambda: sync(tb_(cd)))
