@@ -135,11 +135,13 @@ def find_genes_cluster_mode(
     verbose: bool = True,
     kmer_dist_threshold_buffer: float = 7.0,
     devices: int | None = None,
+    checkpoint_path: str | None = None,
 ) -> list:
     """Cluster-mode (multi-profile) homology search (ref API.jl:161-226).
 
-    ``devices`` (beyond the reference surface) runs the fused multi-profile
-    scan SPMD over the first N devices (parallel/sharded_scan.py)."""
+    Beyond the reference surface: ``devices`` runs the fused multi-profile
+    scan SPMD over the first N devices (parallel/sharded_scan.py);
+    ``checkpoint_path`` enables per-record checkpoint/resume."""
     from .models.omn_miner import mine_genome_clusters
 
     if cluster_cutoffs is None:
@@ -183,6 +185,7 @@ def find_genes_cluster_mode(
         genome_path,
         clusters.profiles,
         engine=engine,
+        checkpoint_path=checkpoint_path,
         thr_vec=list(map(float, kmer_dist_thrs)),
         buff=buffer,
         do_align=do_align,

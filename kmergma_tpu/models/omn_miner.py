@@ -43,6 +43,7 @@ def mine_genome_clusters(
     do_return_align: bool = False,
     get_hit_loci: bool = False,
     engine: ClusterScanEngine | None = None,
+    checkpoint_path: str | None = None,
 ) -> MineResult:
     m = len(profiles)
     if len(thr_vec) != m:
@@ -60,12 +61,32 @@ def mine_genome_clusters(
     res = MineResult()
     dist_parts: list[list[np.ndarray]] = [[] for _ in range(m)]
 
-    genome_pos = 0
-    for record in as_records(genome):
+    # Per-record checkpoint/resume (SURVEY.md section 5.4): cluster-mode
+    # state (prev_range, per-cluster minima) resets per record, so resuming
+    # from the next unprocessed record is exact.
+    ckpt = None
+    if checkpoint_path is not None:
+        from ..utils.checkpoint import ScanCheckpoint
+
+        genome_id = (
+            f"{genome if isinstance(genome, str) else 'records'}|cluster"
+            f"|k={k}|ws={windowsizes}|thr={list(thr_vec)}"
+        )
+        ckpt = ScanCheckpoint.load_or_create(checkpoint_path, genome_id)
+        res.hits.extend(ckpt.restore_hits())
+        res.hit_loci.extend(ckpt.hit_loci)
+
+    genome_pos = ckpt.genome_pos if ckpt else 0
+    for record_idx, record in enumerate(as_records(genome)):
+        if ckpt and record_idx < ckpt.next_record:
+            continue
+        hits_before, loci_before = len(res.hits), len(res.hit_loci)
         seq_len = len(record)
         imax = seq_len - maxws - k + 2
         if imax < 1:
             genome_pos += seq_len
+            if ckpt:
+                ckpt.record_done(record_idx, genome_pos, [], [])
             continue
 
         # one H2D per record, shared by all cluster engines
@@ -133,7 +154,13 @@ def mine_genome_clusters(
 
         replay_omn(streams, dist0s, thr_vec, k, windowsizes, seq_len, process)
         genome_pos += seq_len
+        if ckpt:
+            ckpt.record_done(
+                record_idx, genome_pos, res.hits[hits_before:], res.hit_loci[loci_before:]
+            )
 
+    if ckpt:
+        ckpt.done()
     if do_return_dists:
         res.dists = [
             np.concatenate(parts) if parts else np.empty(0) for parts in dist_parts

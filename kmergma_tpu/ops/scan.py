@@ -499,14 +499,17 @@ class ScanEngine:
         # The relay's H2D throughput collapses on large single transfers
         # (~19 MB/s at 128 MB vs ~39 MB/s sustained at 16 MB); ship the
         # packed bytes in 16 MB pieces (async device_put) and stitch on
-        # device.  One piece -> no concat copy.
-        if packed.nbytes <= piece:
-            packed_dev = jax.device_put(packed)
-        else:
+        # device.  One piece -> no concat copy.  The longest-running device
+        # interaction by far, so it gets the transport-failure retry too.
+        def transfer():
+            if packed.nbytes <= piece:
+                return jax.device_put(packed)
             bounds = range(0, packed.nbytes, piece)
-            packed_dev = jnp.concatenate(
+            return jnp.concatenate(
                 [jax.device_put(packed[o : o + piece]) for o in bounds]
             )
+
+        packed_dev = _with_retry(transfer)
         return PreparedCodes(_unpack_codes(packed_dev), n_spans)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):

@@ -27,6 +27,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gap-extend", type=int, default=None)
     p.add_argument("--hit-loci", action="store_true", help="print hit loci as JSON to stderr")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="run the scan SPMD over the first N devices (default: single device)",
+    )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint file for per-record resume of interrupted scans",
+    )
 
 
 def _emit(hits, loci, args) -> None:
@@ -97,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         out = api.find_genes(
             genome_path=args.genome, ref_path=args.refs, k=args.k,
             kmer_dist_thr=args.thr, do_align=not args.no_align,
-            do_return_hit_loci=True, verbose=not args.quiet, **common,
+            do_return_hit_loci=True, verbose=not args.quiet,
+            devices=args.devices, checkpoint_path=args.checkpoint, **common,
         )
     elif args.cmd == "find-genes-cluster":
         kwargs = dict(common)
@@ -108,9 +117,13 @@ def main(argv: list[str] | None = None) -> int:
         out = api.find_genes_cluster_mode(
             genome_path=args.genome, ref_path=args.refs, k=args.k,
             do_align=not args.no_align, do_return_hit_loci=True,
-            verbose=not args.quiet, **kwargs,
+            verbose=not args.quiet,
+            devices=args.devices, checkpoint_path=args.checkpoint, **kwargs,
         )
     else:  # strobe-find-genes
+        if args.devices or args.checkpoint:
+            print("--devices/--checkpoint are not supported for the strobemer scan", file=sys.stderr)
+            return 2
         out = api.strobemer_find_genes(
             genome_path=args.genome, ref_path=args.refs,
             s=args.s, w_min=args.w_min, w_max=args.w_max, q=args.q_prime,
