@@ -29,6 +29,10 @@ def __getattr__(name):
         from . import api
 
         return getattr(api, name)
+    if name == "record_kmergma":
+        from .models.miner import record_kmergma
+
+        return record_kmergma
     if name in ("exact_match", "first_match"):
         from .ops import exact_match as _em
 

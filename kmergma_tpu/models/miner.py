@@ -61,6 +61,52 @@ class ScanStats:
         return self.bp_scanned / self.wall_seconds / 1e6 if self.wall_seconds else 0.0
 
 
+def record_kmergma(
+    record: FastaRecord,
+    profile: RefProfile,
+    thr: float = 30,
+    buff: int = 50,
+    do_align: bool = True,
+    gap_open: int = -69,
+    gap_extend: int = -1,
+    engine: ScanEngine | None = None,
+) -> list[FastaRecord]:
+    """Single-record scan with the MultiThread miner's output format
+    (ref /root/reference/src/MultiThread/GenomeMiner.jl:8-98): identical
+    hit set to the standard miner (its CMI is stored pre-incremented,
+    ``i_left + 1`` at GenomeMiner.jl:73, instead of post-incremented at the
+    rising edge - same replayed value), but the description has NO
+    ``GenomePos`` field (GenomeMiner.jl:87-93).  Golden strings pinned by
+    test-KmerGMA.jl:229-254.
+
+    The reference's per-thread scratch fan-out (its only parallelism
+    construct, disabled in-source) is superseded by the SPMD sharded scan
+    (parallel/sharded_scan.py); this surface exists for output conformance.
+    """
+    k, ws = profile.k, profile.windowsize
+    seq_len = len(record)
+    if seq_len < ws:
+        return []
+    if engine is None:
+        engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
+    dist0, stream, _ = engine.record_stream(record.codes, thr)
+    hits: list[FastaRecord] = []
+    for hit in replay_single(stream, dist0, thr, k=k, ws=ws, seq_len=seq_len, buff=buff):
+        start, stop = hit.start, hit.stop
+        if do_align:
+            window = record.seq[start - 1 : stop].decode("ascii").upper()
+            aln = semiglobal_align(profile.consensus_ws, window, gap_open, gap_extend)
+            lo, hi = cigar_to_unitrange(aln)
+            start, stop = max(1, hit.start + lo - 1), min(hit.start + hi - 1, seq_len)
+        desc = (
+            f"{record.identifier} | dist = {fmt_dist(hit.dist)}"
+            f" | MatchPos = {start}:{stop}"
+            f" | Len = {stop - start + 1}"
+        )
+        hits.append(FastaRecord(desc, record.seq[start - 1 : stop].upper()))
+    return hits
+
+
 def mine_genome(
     genome: PathOrRecords,
     profile: RefProfile,

@@ -72,24 +72,18 @@ def _chunked_table_gather(tab_ref, idx):
     """g = S[idx] for an (ROWS, n) int32 index array against a shared
     (ROWS, 4^k) table.
 
-    Mosaic lowers gathers only when the index array has the SAME shape as
-    the source (one lane each), so the lookup is double-chunked: 128-lane
-    slices of the index stream x 4^k/128 table chunks, each a narrow
-    (ROWS, 128) take_along_axis, masked and summed.  ``n`` must be a
-    multiple of 128."""
+    Mosaic lowers take_along_axis only when the index array has the SAME
+    shape as the source, so the table is lane-TILED up to the index width
+    and gathered in ONE op per call: every index < 4^k addresses the first
+    copy.  (The alternative - 128-lane index slices x 4^k/128 table chunks
+    of narrow gathers - is ~2000 small ops per grid step and runs
+    latency-bound at ~60 ms/span.)  ``n`` must be a multiple of 4^k... or
+    the table is tiled ceil(n/4^k) times and sliced."""
     nbins = tab_ref.shape[1]
     n = idx.shape[1]
-    parts = []
-    for c0 in range(0, n, 128):
-        chunk = idx[:, c0 : c0 + 128]
-        acc = jnp.zeros_like(chunk)
-        for tc in range(nbins // 128):
-            sub = tab_ref[:, tc * 128 : (tc + 1) * 128]
-            local = jnp.clip(chunk - tc * 128, 0, 127)
-            got = jnp.take_along_axis(sub, local, axis=1)
-            acc = acc + jnp.where((chunk >= tc * 128) & (chunk < (tc + 1) * 128), got, 0)
-        parts.append(acc)
-    return jnp.concatenate(parts, axis=1)
+    reps = -(-n // nbins)
+    wide = jnp.concatenate([tab_ref[:, :]] * reps, axis=1)[:, :n] if reps > 1 else tab_ref[:, :n]
+    return jnp.take_along_axis(wide, idx, axis=1)
 
 
 def _fused_kernel(

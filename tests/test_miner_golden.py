@@ -94,3 +94,30 @@ class TestMiniGenome:
         genome = next(read_fasta(mini_genome)).seq_str().upper()
         h = res.hits[0]
         assert h.seq_str() == genome[6852 - 1 : 7140]
+
+
+class TestRecordKmerGMA:
+    """MultiThread record-level output format (ref MultiThread/GenomeMiner.jl,
+    golden strings test-KmerGMA.jl:229-254): same hits, no GenomePos field."""
+
+    def test_single_record_golden(self, mini_genome, ref_fasta):
+        from kmergma_tpu.models.miner import record_kmergma
+        from kmergma_tpu.ops.reference import gen_ref_ws_cons
+        from kmergma_tpu.utils.fasta import as_records
+
+        profile = gen_ref_ws_cons(ref_fasta, 6)
+        record = as_records(mini_genome)[0]
+        hits = record_kmergma(record, profile, thr=30)
+        assert [h.description for h in hits] == [
+            "AM773548.1 | dist = 8.1 | MatchPos = 6852:7140 | Len = 289",
+            "AM773548.1 | dist = 24.87 | MatchPos = 23907:24201 | Len = 295",
+            "AM773548.1 | dist = 10.99 | MatchPos = 33845:34133 | Len = 289",
+        ]
+
+    def test_short_record_skipped(self, ref_fasta):
+        from kmergma_tpu.models.miner import record_kmergma
+        from kmergma_tpu.ops.reference import gen_ref_ws_cons
+        from kmergma_tpu.utils.fasta import FastaRecord
+
+        profile = gen_ref_ws_cons(ref_fasta, 6)
+        assert record_kmergma(FastaRecord("tiny", b"ACGT" * 10), profile) == []
