@@ -125,7 +125,13 @@ def mine_genome(
 
     k, ws = profile.k, profile.windowsize
     if engine is None:
-        engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
+        try:
+            engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
+        except OverflowError:
+            # beyond the device int32 headroom: exact int64 host engine
+            from ..ops.scan_host import HostScanEngine
+
+            engine = HostScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
     consensus_ws = profile.consensus_ws
     res = MineResult()
     res.stats = stats = ScanStats()

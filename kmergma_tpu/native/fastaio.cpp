@@ -10,7 +10,7 @@
 //
 // C ABI (ctypes-bound from kmergma_tpu/utils/native.py):
 //   fasta_stats(buf, n, &n_records, &total_seq_bytes)
-//   fasta_parse(buf, n, codes_out, rec_offsets, rec_lens,
+//   fasta_parse(buf, n, codes_out, seq_out, rec_offsets, rec_lens,
 //               desc_out, desc_cap, desc_lens, max_records)
 // Returns 0 on success, -1 on malformed input, -2 on invalid nucleotide
 // (position reported via rec_offsets[0] in that case).
@@ -68,8 +68,9 @@ int fasta_stats(const char* buf, long n, long* n_records, long* total_seq) {
 // headers (without '>') are packed back-to-back into desc_out with
 // per-record lengths in desc_lens.
 int fasta_parse(const char* buf, long n, signed char* codes_out,
-                long* rec_offsets, long* rec_lens, char* desc_out,
-                long desc_cap, long* desc_lens, long max_records) {
+                char* seq_out, long* rec_offsets, long* rec_lens,
+                char* desc_out, long desc_cap, long* desc_lens,
+                long max_records) {
     long r = -1;
     long w = 0;       // write cursor in codes_out
     long dw = 0;      // write cursor in desc_out
@@ -95,6 +96,7 @@ int fasta_parse(const char* buf, long n, signed char* codes_out,
         } else {
             signed char c = LUT[(unsigned char)buf[i]];
             if (c >= 0) {
+                seq_out[w] = buf[i];  // raw byte, case preserved (N stays N)
                 codes_out[w++] = c;
             } else if (c == -1) {
                 rec_offsets[0] = i;  // report offending byte position
@@ -138,4 +140,63 @@ extern "C" void pack_quarters(const signed char* codes, long n,
         }
         out[j] = b;
     }
+}
+
+// Exact int64 rolling-spectrum scan: the reference's O(1)/bp incremental
+// recurrence (/root/reference/src/GenomeMiner.jl:42-77) in scaled integers
+// D[p] = ||R*c_p - S||^2 (see kmergma_tpu/ops/scan.py).  Host fallback for
+// parameter regimes whose scaled distances overflow the device int32 path
+// (ops.scan.check_int32_headroom); exactness is preserved because every
+// term is integral.  Writes D for all n - ws + 1 windows into out.
+// Returns 0, or -1 if the first-window distance overflows int64 (the
+// Python caller pre-checks the bound, so this is a belt-and-braces guard).
+extern "C" int scan_rolling_i64(const signed char* codes, long n,
+                                const long long* s_profile, long nbins,
+                                int k, int ws, long long r, long long* out) {
+    const long w = ws - k + 1;   // k-mers per window
+    const long nw = n - ws + 1;  // windows
+    if (nw < 1 || w < 1) return -1;
+    const unsigned long mask = (unsigned long)nbins - 1;
+
+    int* counts = new int[nbins]();
+
+    // first-window spectrum + D0 via 128-bit accumulation
+    unsigned long kmer = 0;
+    for (int i = 0; i < k - 1; ++i) kmer = (kmer << 2) | (unsigned char)codes[i];
+    for (long i = k - 1; i < w + k - 1; ++i) {
+        kmer = ((kmer << 2) & mask) | (unsigned char)codes[i];
+        ++counts[kmer];
+    }
+    __int128 d0 = 0;
+    for (long v = 0; v < nbins; ++v) {
+        const __int128 diff = (__int128)r * counts[v] - s_profile[v];
+        d0 += diff * diff;
+    }
+    if (d0 > (__int128)0x7fffffffffffffffLL) {
+        delete[] counts;
+        return -1;
+    }
+    long long d = (long long)d0;
+    out[0] = d;
+
+    // rolling registers: leaving k-mer at p, entering k-mer at p + w
+    unsigned long left = 0, right = 0;
+    for (int i = 0; i < k - 1; ++i) {
+        left = (left << 2) | (unsigned char)codes[i];
+        right = (right << 2) | (unsigned char)codes[w + i];
+    }
+    const long long r2 = 2 * r * r;
+    for (long p = 1; p < nw; ++p) {
+        left = ((left << 2) & mask) | (unsigned char)codes[p + k - 2];
+        right = ((right << 2) & mask) | (unsigned char)codes[p + w + k - 2];
+        if (left != right) {
+            d += r2 * (1 + counts[right] - counts[left])
+                 + 2 * r * (s_profile[left] - s_profile[right]);
+            --counts[left];
+            ++counts[right];
+        }
+        out[p] = d;
+    }
+    delete[] counts;
+    return 0;
 }

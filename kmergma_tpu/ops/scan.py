@@ -216,7 +216,8 @@ def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None
     if bound >= 2**31:
         raise OverflowError(
             f"scaled-integer scan would overflow int32 (bound {bound:.3g}); "
-            "reduce the reference set size or window, or use the float64 host path"
+            "use the exact int64 host engine (ops.scan_host.HostScanEngine - "
+            "models.miner.mine_genome falls back to it automatically)"
         )
 
 

@@ -82,8 +82,12 @@ def _chunked_table_gather(tab_ref, idx):
     nbins = tab_ref.shape[1]
     n = idx.shape[1]
     reps = -(-n // nbins)
-    wide = jnp.concatenate([tab_ref[:, :]] * reps, axis=1)[:, :n] if reps > 1 else tab_ref[:, :n]
-    return jnp.take_along_axis(wide, idx, axis=1)
+    wide = jnp.concatenate([tab_ref[:, :]] * reps, axis=1) if reps > 1 else tab_ref[:, :]
+    if wide.shape[1] > n:  # indices padded up to the tiled-table width
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((idx.shape[0], wide.shape[1] - n), idx.dtype)], axis=1
+        )
+    return jnp.take_along_axis(wide, idx, axis=1)[:, :n]
 
 
 def _fused_kernel(

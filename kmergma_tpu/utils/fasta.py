@@ -77,8 +77,15 @@ def parse_fasta(fh: io.IOBase) -> Iterator[FastaRecord]:
 
 
 def as_records(source: PathOrRecords) -> list[FastaRecord]:
-    """Accept a fasta path or an iterable of records (ref ReferenceGeneration.jl:6-14)."""
+    """Accept a fasta path or an iterable of records (ref ReferenceGeneration.jl:6-14).
+
+    Paths go through the native C++ loader when available (fused parse +
+    2-bit encode in one sweep, utils/native.py) with the pure-Python parser
+    as fallback - identical records either way (tests/test_native.py)."""
     if isinstance(source, (str, os.PathLike)):
+        native = read_fasta_native(source)
+        if native is not None:
+            return native
         return list(read_fasta(source))
     try:
         recs = list(source)
@@ -152,22 +159,18 @@ def load_contigs(source: PathOrRecords) -> ContigSet:
 def read_fasta_native(path: str | os.PathLike) -> "list[FastaRecord] | None":
     """Fast path: parse + encode with the native C++ loader (utils/native.py).
 
-    Returns records with their code tensors pre-populated (sequence bytes
-    are decoded from codes on demand; N decodes as T, matching the 2-bit
-    contract).  Returns None when the native library is unavailable -
-    callers fall back to ``read_fasta``.
+    Returns records with their code tensors pre-populated and the raw
+    (case-preserved) sequence bytes, or None when the native library is
+    unavailable - callers fall back to ``read_fasta``.
     """
     from .native import load_fasta_native
 
     out = load_fasta_native(str(path))
     if out is None:
         return None
-    from ..consts import BITS_NT
-
-    lut = np.frombuffer(BITS_NT.encode(), dtype=np.uint8)
-    codes, offsets, lengths, descs = out
+    codes, seq_bytes, offsets, lengths, descs = out
     records = []
     for r in range(len(descs)):
-        c = codes[int(offsets[r]) : int(offsets[r]) + int(lengths[r])]
-        records.append(FastaRecord(descs[r], lut[c].tobytes(), _codes=c))
+        lo, hi = int(offsets[r]), int(offsets[r]) + int(lengths[r])
+        records.append(FastaRecord(descs[r], seq_bytes[lo:hi].tobytes(), _codes=codes[lo:hi]))
     return records

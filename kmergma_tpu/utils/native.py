@@ -34,7 +34,7 @@ def _build_lib() -> "ctypes.CDLL | None":
                 timeout=120,
             )
         lib = ctypes.CDLL(so_path)
-        lib.pack_quarters  # symbol presence check (stale .so -> AttributeError)
+        lib.scan_rolling_i64  # newest symbol check (stale .so -> AttributeError)
     except (OSError, subprocess.SubprocessError, AttributeError):
         return None
 
@@ -46,7 +46,7 @@ def _build_lib() -> "ctypes.CDLL | None":
     lib.fasta_parse.restype = ctypes.c_int
     lib.fasta_parse.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
     ]
     lib.encode_seq.restype = ctypes.c_long
@@ -54,6 +54,11 @@ def _build_lib() -> "ctypes.CDLL | None":
     lib.pack_quarters.restype = None
     lib.pack_quarters.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.scan_rolling_i64.restype = ctypes.c_int
+    lib.scan_rolling_i64.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p,
     ]
     return lib
 
@@ -69,10 +74,11 @@ def get_lib() -> "ctypes.CDLL | None":
 def load_fasta_native(path: str):
     """Parse a fasta file with the native library.
 
-    Returns (codes, offsets, lengths, descriptions) where ``codes`` is one
-    contiguous int8 array of all records' 2-bit codes, or None if the
-    native path is unavailable.  Raises ValueError on invalid nucleotides
-    (matching the Python parser's behaviour).
+    Returns (codes, seq_bytes, offsets, lengths, descriptions) where
+    ``codes`` is one contiguous int8 array of all records' 2-bit codes and
+    ``seq_bytes`` the raw (case-preserved, whitespace-stripped) sequence
+    bytes at the same offsets, or None if the native path is unavailable.
+    Raises ValueError on invalid nucleotides (matching the Python parser).
     """
     lib = get_lib()
     if lib is None:
@@ -81,7 +87,7 @@ def load_fasta_native(path: str):
         try:
             buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         except ValueError:  # empty file
-            return np.zeros(0, np.int8), np.zeros(0, np.int64), np.zeros(0, np.int64), []
+            return np.zeros(0, np.int8), np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64), []
         try:
             n = len(buf)
             n_records = ctypes.c_long()
@@ -95,6 +101,7 @@ def load_fasta_native(path: str):
         raise ValueError(f"no fasta records found in {path}")
     nr = n_records.value
     codes = np.empty(total_seq.value, dtype=np.int8)
+    seq_bytes = np.empty(total_seq.value, dtype=np.uint8)
     offsets = np.empty(nr, dtype=np.int64)
     lengths = np.empty(nr, dtype=np.int64)
     desc_buf = ctypes.create_string_buffer(n)
@@ -102,6 +109,7 @@ def load_fasta_native(path: str):
     rc = lib.fasta_parse(
         cbuf, n,
         codes.ctypes.data_as(ctypes.c_void_p),
+        seq_bytes.ctypes.data_as(ctypes.c_void_p),
         offsets.ctypes.data_as(ctypes.c_void_p),
         lengths.ctypes.data_as(ctypes.c_void_p),
         desc_buf, n,
@@ -119,7 +127,7 @@ def load_fasta_native(path: str):
     for r in range(nr):
         descs.append(raw[d : d + int(desc_lens[r])].decode("ascii"))
         d += int(desc_lens[r])
-    return codes, offsets, lengths, descs
+    return codes, seq_bytes, offsets, lengths, descs
 
 def pack_quarters_native(codes: np.ndarray, total: int) -> "np.ndarray | None":
     """Quarter-wise 2-bit pack of ``codes`` zero-padded to ``total`` bases.
@@ -140,4 +148,35 @@ def pack_quarters_native(codes: np.ndarray, total: int) -> "np.ndarray | None":
         out.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_long(total),
     )
+    return out
+
+
+def scan_rolling_i64_native(
+    codes: np.ndarray, s_profile: np.ndarray, k: int, ws: int, r: int
+) -> "np.ndarray | None":
+    """Exact int64 scaled window distances via the native O(1)/bp rolling
+    recurrence (the reference's own algorithm, GenomeMiner.jl:42-77).
+
+    Returns int64[n - ws + 1], or None if the native library is
+    unavailable.  Raises OverflowError if D would exceed int64.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    s64 = np.ascontiguousarray(s_profile, dtype=np.int64)
+    nw = codes.shape[0] - ws + 1
+    out = np.empty(max(nw, 1), dtype=np.int64)
+    rc = lib.scan_rolling_i64(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(codes.shape[0]),
+        s64.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(s64.shape[0]),
+        ctypes.c_int(k),
+        ctypes.c_int(ws),
+        ctypes.c_longlong(r),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise OverflowError("scaled window distance exceeds int64")
     return out

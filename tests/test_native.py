@@ -53,3 +53,17 @@ def test_native_miner_golden(lib, ref_fasta, test_genome):
     recs = read_fasta_native(test_genome)
     res = mine_genome(recs, profile, thr=30, do_align=True, get_hit_loci=True)
     assert res.hit_loci == [8543, 20425, 221912, 234018, 450875, 467930, 477868]
+
+
+def test_as_records_native_is_production_path(lib, test_genome, monkeypatch):
+    """as_records routes paths through the native loader (exact bytes,
+    case preserved) and yields identical records to the Python fallback."""
+    from kmergma_tpu.utils import fasta as fasta_mod
+
+    native_recs = fasta_mod.as_records(test_genome)
+    monkeypatch.setattr(fasta_mod, "read_fasta_native", lambda p: None)
+    py_recs = fasta_mod.as_records(test_genome)
+    assert [r.description for r in native_recs] == [r.description for r in py_recs]
+    for a, b in zip(native_recs, py_recs):
+        assert a.seq == b.seq  # raw bytes, exact
+        assert a.codes.tolist() == b.codes.tolist()
