@@ -529,6 +529,18 @@ class ScanEngine:
         stream: list[tuple[int, float]] = []
         dist0 = None
         full_dists = np.empty(nw, dtype=np.float64) if collect_dists else None
+
+        if codes_dev is None and not collect_dists and nw > 2 * self.chunk:
+            # long records: pipelined per-segment transfer + bitmap dispatch
+            # (transfer-compute overlap); active regions are re-fetched from
+            # host codes, so no whole-record device array is ever held
+            if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
+                self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
+            codes = np.asarray(codes, dtype=np.int8)
+            bitmaps = _with_retry(lambda: self._segmented_bitmaps(codes, nw, self._thr_cache[1]))
+            dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps)
+            return dist0, stream, None
+
         if codes_dev is None:
             codes_dev = self.prepare_codes(codes)
         prep: PreparedCodes = codes_dev
@@ -570,6 +582,42 @@ class ScanEngine:
         ).reshape(-1)
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
+
+    def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_dev) -> np.ndarray:
+        """Pipelined whole-record bitmaps: transfer-compute overlap.
+
+        Splits the record into fixed segments of 2 x chunk windows, and for
+        each segment DISPATCHES its (packed, chunked) H2D transfer and its
+        bitmap pass without blocking, fetching results two segments behind -
+        so segment i+1's transfer rides the link while segment i computes
+        (SURVEY.md section 2.2 PP row: double-buffered device feeds).  The
+        sliding fetch also bounds live device memory to ~3 segments, so
+        arbitrarily long records never exhaust HBM.
+        """
+        seg = 2 * self.chunk
+        blocks_per_seg = seg // self.block
+        pending: list = []  # (prep, bm_handle) not yet fetched
+        out: list[np.ndarray] = []
+        for off in range(0, nw, seg):
+            seg_codes = codes[off : off + seg + self.ws - 1]
+            prep = self.prepare_codes(seg_codes)  # async H2D dispatch
+            # this segment owns windows [off, off + seg); its codes slice
+            # covers exactly those, so clamp validity to the segment too
+            # (prepare_codes buckets by code length, which may round up to
+            # an extra span - those trailing blocks are trimmed below)
+            nv = jnp.asarray(np.asarray([min(nw - off, seg)], dtype=np.int32))
+            bm = _scan_record_bitmaps(
+                prep.dev, nv, self.s_dev, thr_dev,
+                k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
+                n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                depth=self.bound_depth,
+            )
+            pending.append((prep, bm))
+            if len(pending) > 2:  # fetch behind the dispatch front
+                out.append(np.asarray(pending.pop(0)[1]).reshape(-1)[:blocks_per_seg])
+        for _, bm in pending:
+            out.append(np.asarray(bm).reshape(-1)[:blocks_per_seg])
+        return np.concatenate(out)
 
     def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray):
         """Turn a record's activity bitmaps into the exact candidate stream.

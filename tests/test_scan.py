@@ -65,3 +65,26 @@ def test_headroom_guard():
     s = np.full(4096, 10**5, dtype=np.int64)
     with pytest.raises(OverflowError):
         check_int32_headroom(s, ws=289, k=6, r=10**4)
+
+
+def test_segmented_pipeline_matches_single_transfer():
+    """Long records take the pipelined per-segment transfer+compute path
+    (transfer-compute overlap); streams must be bit-identical to the
+    whole-record single-transfer path."""
+    import numpy as np
+    from kmergma_tpu.ops.scan import ScanEngine
+
+    rng = np.random.default_rng(21)
+    k, ws, r = 6, 289, 12
+    codes = rng.integers(0, 4, 70000, dtype=np.int8)
+    s = rng.integers(0, 10, 4**k).astype(np.int32)
+    eng = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=8192)
+    _, probe, _ = eng.record_stream(codes, thr=1e9, codes_dev=eng.prepare_codes(codes))
+    thr = float(np.percentile([v for _, v in probe], 5))
+
+    # explicit prep -> single-transfer path; no prep + nw > 2*chunk -> segmented
+    d0_a, stream_a, _ = eng.record_stream(codes, thr, codes_dev=eng.prepare_codes(codes))
+    assert codes.shape[0] - ws + 1 > 2 * eng.chunk
+    d0_b, stream_b, _ = eng.record_stream(codes, thr)
+    assert d0_a == d0_b
+    assert stream_a == stream_b
