@@ -64,23 +64,8 @@ def decode_seq(codes: np.ndarray) -> str:
     return np.asarray(lut)[np.asarray(codes)].tobytes().decode("ascii")
 
 
-# ---------------------------------------------------------------------------
-# EDNAFULL / NUC.4.4 substitution matrix (used by the semi-global aligner;
-# ref Alignment.jl:28 builds AffineGapScoreModel(EDNAFULL, ...)).
-# Rows/cols ordered by our 2-bit code (A,C,G,T).  The full 15-letter IUPAC
-# matrix collapses to this 4x4 core because sequences are encoded to
-# A/C/G/T (N maps to T by the encoding contract above).
-# ---------------------------------------------------------------------------
-
-EDNAFULL = np.array(
-    [
-        [5, -4, -4, -4],
-        [-4, 5, -4, -4],
-        [-4, -4, 5, -4],
-        [-4, -4, -4, 5],
-    ],
-    dtype=np.int32,
-)
+# The EDNAFULL / NUC.4.4 substitution matrix itself lives with the aligner
+# (ops/align.py _NUC44, the full 15-letter IUPAC form BioAlignments uses).
 
 #: Default affine gap parameters of the single-profile miner
 #: (ref GenomeMiner.jl:17-18); cluster mode uses gap_open=-200

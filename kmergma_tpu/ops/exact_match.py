@@ -1,8 +1,8 @@
 """Exact-occurrence search (ref /root/reference/src/ExactMatch.jl).
 
 Two engines behind one API:
-  * a device scan (``match_starts_jnp``): shifted byte-equality reductions
-    over the subject - O(|query|)/bp of pure VPU ops, the TPU-native
+  * a device scan (``match_starts_engine``): anagram candidates from the
+    production spectrum engine + host byte verification - the TPU-native
     replacement for BioSequences' Boyer-Moore search (SURVEY.md section 7
     item 8), used for large subjects;
   * a host fallback on ``bytes.find`` for small inputs (no device round-trip).
@@ -18,7 +18,6 @@ restarts one past each match END (greedy non-overlapping).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Union
 
 import numpy as np
@@ -46,30 +45,6 @@ def match_starts_np(subject: bytes, query: bytes) -> np.ndarray:
         out.append(start)
         start = subject.find(query, start + 1)
     return np.asarray(out, dtype=np.int64)
-
-
-@partial(__import__("jax").jit, static_argnames=("qlen",))
-def _match_mask_jnp(subject, query, qlen: int):
-    import jax
-    import jax.numpy as jnp
-
-    n = subject.shape[0]
-    m = n - qlen + 1
-
-    def body(t, acc):
-        return acc & (jax.lax.dynamic_slice(subject, (t,), (m,)) == query[t])
-
-    return jax.lax.fori_loop(0, qlen, body, jnp.ones(m, dtype=bool))
-
-
-def match_starts_jnp(subject: bytes, query: bytes) -> np.ndarray:
-    """Device scan: conjunction of shifted equality comparisons."""
-    import jax.numpy as jnp
-
-    sub = jnp.asarray(np.frombuffer(subject, dtype=np.uint8))
-    q = jnp.asarray(np.frombuffer(query, dtype=np.uint8))
-    mask = np.asarray(_match_mask_jnp(sub, q, len(query)))
-    return np.nonzero(mask)[0].astype(np.int64)
 
 
 def _ranges(starts: np.ndarray, qlen: int, overlap: bool) -> list[tuple[int, int]]:

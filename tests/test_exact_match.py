@@ -2,7 +2,7 @@
 
 import pytest
 
-from kmergma_tpu.ops.exact_match import exact_match, first_match, match_starts_jnp
+from kmergma_tpu.ops.exact_match import exact_match, first_match
 from kmergma_tpu.utils.fasta import fasta_id_to_cumulative_len_dict, read_fasta
 
 
@@ -37,14 +37,6 @@ class TestReader:
             "AM773729|IGHV1-1*01|Vicugna": [(174, 178)],
             "AM939700|IGHV1S5*01|Vicugna": [(174, 178)],
         }
-
-
-def test_device_scan_matches_host():
-    sub = b"CGAGAGAGAAGGCCGAGCTTTT" * 50
-    starts = match_starts_jnp(sub, b"GAG")
-    from kmergma_tpu.ops.exact_match import match_starts_np
-
-    assert starts.tolist() == match_starts_np(sub, b"GAG").tolist()
 
 
 def test_engine_exact_match_matches_host(test_genome):
