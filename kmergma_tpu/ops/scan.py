@@ -35,6 +35,7 @@ so XLA compiles a single fused elementwise pipeline.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -201,6 +202,17 @@ def scan_window_lower_bounds(
     ab = _pair_ab_xla(kcodes, w, nw - 1, depth)
     delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])
     return jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth"))
+def _first_window_l0(codes_dev, s_profile, *, k, ws, r, depth):
+    """The record's first-window scaled lower bound (feeds the fused
+    kernel's carry chain; tiny: touches only the first ws codes)."""
+    w = ws - k + 1
+    head = jax.lax.slice(codes_dev, (0,), (ws,))
+    kc = rolling_kmer_codes_jnp(head, k)  # exactly w kmers
+    g = profile_lookup(kc, s_profile)
+    return _lower_bound_base(kc, g, s_profile, w, r, depth)
 
 
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
@@ -435,7 +447,7 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32, use_fused: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
@@ -459,6 +471,13 @@ class ScanEngine:
             # formulation is the portable fallback (and interpret-mode oracle)
             use_pallas = jax.default_backend() == "tpu" and 4**k <= 2**14
         self.use_pallas = use_pallas
+        if use_fused is None:
+            # the fully-fused codes->bitmap kernel (ops/scan_fused.py) is
+            # bit-identical but measured at parity with the split pass on
+            # v5e (its in-kernel gather + cumsum offset the saved XLA glue),
+            # so it stays opt-in: KMERGMA_FUSED=1 or use_fused=True
+            use_fused = os.environ.get("KMERGMA_FUSED", "") == "1"
+        self.use_fused = use_fused and use_pallas and bound_depth is not None
 
     def _thr_int(self, thr: float) -> np.int32:
         # Conservative device-side threshold: superset of the exact host
@@ -570,18 +589,46 @@ class ScanEngine:
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         thr_dev = self._thr_cache[1]
 
-        bitmaps = _with_retry(
-            lambda: np.asarray(
-                _scan_record_bitmaps(
-                    prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
-                    k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
-                    n_spans=prep.n_spans, use_pallas=self.use_pallas,
-                    depth=self.bound_depth,
+        if self.use_fused and nw >= (1 << 16):
+            bitmaps = _with_retry(lambda: self._fused_bitmaps(prep, nw, thr_int))
+        else:
+            bitmaps = _with_retry(
+                lambda: np.asarray(
+                    _scan_record_bitmaps(
+                        prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
+                        k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
+                        n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                        depth=self.bound_depth,
+                    )
                 )
-            )
-        ).reshape(-1)
+            ).reshape(-1)
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
+
+    def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
+        """Whole-record bitmaps via the fully-fused Mosaic kernel
+        (ops/scan_fused.py): one pallas_call, no per-span lax.scan, no XLA
+        K-code/lookup/cumsum glue.  Bit-identical to the split pass."""
+        from .scan_fused import ROWS as FROWS, fused_record_bitmaps
+
+        t = 8192
+        w = self.ws - self.k + 1
+        hw = -(-(w + 1) // 128) * 128 + 128
+        n_tiles = -(-nw // t)
+        n_tiles = -(-n_tiles // FROWS) * FROWS
+        if prep.dev.shape[0] < n_tiles * t + t + hw:
+            raise AssertionError("prepared record too small for the fused tiling")
+        depth = self.bound_depth
+        l0 = int(
+            _first_window_l0(prep.dev, self.s_dev, k=self.k, ws=self.ws, r=self.r, depth=depth)
+        )
+        meta = jnp.asarray(np.asarray([int(thr_int), l0, nw], dtype=np.int32))
+        bm = fused_record_bitmaps(
+            prep.dev, self.s_dev, meta,
+            k=self.k, ws=self.ws, r=self.r, depth=depth,
+            t=t, block=self.block, n_tiles=n_tiles,
+        )
+        return np.asarray(bm).reshape(-1)
 
     def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_dev) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.

@@ -23,8 +23,19 @@ unpack; per grid step (ROWS tiles, everything VMEM-resident):
 Only the bitmap (1 bit per ``block`` windows) leaves the core.  The bound
 values are BIT-IDENTICAL to ops.scan.scan_window_lower_bounds (pure integer
 arithmetic, same order), so the bitmap equals the split pass's exactly -
-asserted in tests/test_fused.py and cross-checked against the golden hit
-sets through ScanEngine.
+asserted in tests/test_fused.py and verified bit-identical on a real v5e
+over a 64 Mbp genome.
+
+Measured on v5e (64 Mbp, depth 32, t=8192): fused whole-record 98.6 ms vs
+the split pass's 96.1 ms - PARITY, not a win: the XLA glue it absorbs
+(K-code build 25.1 ms, lookup 9.1 ms, delta+cumsum 9 ms) is offset by the
+in-kernel narrow-gather lookup (~21 ms; Mosaic's tpu.dynamic_gather is
+limited to one 128-lane source vreg, so S[K] costs 32 masked chunk gathers
+per 128 lanes) and the in-lane roll-based cumsum (~15 ms), plus ~24 us/step
+fixed overhead.  Ablations: base (kcodes+cumsum+bitmap) 49.7 ms, +pairs
+76.2 ms, +gather 98.8 ms.  Kept as the opt-in ``use_fused``/KMERGMA_FUSED=1
+engine path: it holds everything on-core (no genome-sized intermediates),
+which is the right starting point if Mosaic grows wide-gather support.
 """
 
 from __future__ import annotations
