@@ -93,9 +93,14 @@ def main() -> None:
     codes = rng.integers(0, 4, n_bp, dtype=np.int8)
 
     chunk_env = os.environ.get("BENCH_CHUNK")
+    eng_kwargs = {}
+    if chunk_env:
+        eng_kwargs["chunk_windows"] = int(chunk_env)
+    if os.environ.get("BENCH_DEPTH"):
+        eng_kwargs["bound_depth"] = int(os.environ["BENCH_DEPTH"])
     engine = ScanEngine(
         profile.sum_kfv, k=profile.k, ws=profile.windowsize, r=profile.n_records,
-        **({"chunk_windows": int(chunk_env)} if chunk_env else {}),
+        **eng_kwargs,
     )
 
     # ---- headline: random genome, production single-profile path ----
@@ -158,10 +163,7 @@ def main() -> None:
         clusters = eliminate_null_params(cluster_ref_api(ref_path, 6, cutoffs=[7, 12, 20, 25]))
         m = len(clusters.profiles)
         thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][:m]
-        ceng = ClusterScanEngine(
-            clusters.profiles, k=6,
-            **({"chunk_windows": int(chunk_env)} if chunk_env else {}),
-        )
+        ceng = ClusterScanEngine(clusters.profiles, k=6, **eng_kwargs)
         cprep = ceng.prepare_codes(dcodes)
         ceng.record_streams(dcodes, thrs, codes_dev=cprep)  # warmup
 
