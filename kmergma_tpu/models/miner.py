@@ -147,8 +147,28 @@ def mine_genome(
         res.hits.extend(ckpt.restore_hits())
         res.hit_loci.extend(ckpt.hit_loci)
 
+    records = as_records(genome)
+
+    # Cross-record transfer-compute overlap: dispatch the NEXT eligible
+    # record's (async) H2D before scanning the current one, so multi-contig
+    # genomes keep the link busy under compute.  Records long enough for
+    # the segmented in-record pipeline manage their own transfers.
+    prefetched: dict[int, object] = {}
+
+    def _prefetch_after(idx: int) -> None:
+        if not getattr(engine, "prefetch_h2d", False):
+            return
+        for j in range(idx + 1, len(records)):
+            if ckpt and j < ckpt.next_record:
+                continue
+            n_j = len(records[j])
+            if n_j >= ws and (n_j - ws + 1) <= 2 * engine.chunk:
+                if j not in prefetched:
+                    prefetched[j] = engine.prepare_codes(records[j].codes)
+                return
+
     genome_pos = ckpt.genome_pos if ckpt else 0
-    for record_idx, record in enumerate(as_records(genome)):
+    for record_idx, record in enumerate(records):
         if ckpt and record_idx < ckpt.next_record:
             continue
         hits_before, loci_before = len(res.hits), len(res.hit_loci)
@@ -159,7 +179,11 @@ def mine_genome(
             if ckpt:
                 ckpt.record_done(record_idx, genome_pos, [], [])
             continue
-        dist0, stream, dists = engine.record_stream(record.codes, thr, collect_dists=do_return_dists)
+        codes_dev = prefetched.pop(record_idx, None)
+        _prefetch_after(record_idx)
+        dist0, stream, dists = engine.record_stream(
+            record.codes, thr, collect_dists=do_return_dists, codes_dev=codes_dev
+        )
         stats.records_scanned += 1
         stats.bp_scanned += seq_len
         stats.windows_scanned += seq_len - ws + 1

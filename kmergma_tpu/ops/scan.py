@@ -447,6 +447,11 @@ class ScanEngine:
     sparse candidate stream for the exact host replay.
     """
 
+    #: miners may dispatch the NEXT record's H2D before scanning the
+    #: current one (cross-record transfer-compute overlap); engines that
+    #: manage their own transfers (sharded, host) opt out
+    prefetch_h2d = True
+
     def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32, use_fused: bool | None = None):
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))

@@ -118,6 +118,8 @@ class ShardedScanEngine(ScanEngine):
     against the golden hit sets).
     """
 
+    prefetch_h2d = False  # transfers are per-shard inside record_stream
+
     def __init__(
         self,
         s_profile: np.ndarray,
