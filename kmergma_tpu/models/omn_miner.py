@@ -21,13 +21,15 @@ so smaller clusters' trailing windows are never scanned - reproduced here.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from ..ops.align import cigar_to_unitrange, semiglobal_align
 from ..ops.reference import RefProfile
 from ..ops.scan_cluster import ClusterScanEngine
 from ..utils.fasta import FastaRecord, PathOrRecords, as_records
-from .miner import MineResult, fmt_dist
+from .miner import MineResult, ScanStats, fmt_dist
 from .state_machine import OmnHitEvent, replay_omn
 
 
@@ -59,6 +61,8 @@ def mine_genome_clusters(
     cluster_engine = engine if engine is not None else ClusterScanEngine(profiles, k=k)
 
     res = MineResult()
+    res.stats = stats = ScanStats()
+    t_start = time.perf_counter()
     dist_parts: list[list[np.ndarray]] = [[] for _ in range(m)]
 
     # Per-record checkpoint/resume (SURVEY.md section 5.4): cluster-mode
@@ -84,10 +88,14 @@ def mine_genome_clusters(
         seq_len = len(record)
         imax = seq_len - maxws - k + 2
         if imax < 1:
+            stats.records_skipped += 1
             genome_pos += seq_len
             if ckpt:
                 ckpt.record_done(record_idx, genome_pos, [], [])
             continue
+        stats.records_scanned += 1
+        stats.bp_scanned += seq_len
+        stats.windows_scanned += m * imax
 
         # one H2D per record, shared by all cluster engines
         shared_dev = cluster_engine.prepare_codes(record.codes)
@@ -109,6 +117,7 @@ def mine_genome_clusters(
             )
             dist0s = [p[0] for p in pairs]
             streams = [p[1] for p in pairs]
+        stats.candidate_windows += sum(len(s) for s in streams)
 
         prev_range = (0, 0)  # 1-based inclusive; (0,0) matches Julia's 0:0
 
@@ -161,6 +170,8 @@ def mine_genome_clusters(
 
     if ckpt:
         ckpt.done()
+    stats.hits = len(res.hits)
+    stats.wall_seconds = time.perf_counter() - t_start
     if do_return_dists:
         res.dists = [
             np.concatenate(parts) if parts else np.empty(0) for parts in dist_parts
