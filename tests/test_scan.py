@@ -88,3 +88,43 @@ def test_segmented_pipeline_matches_single_transfer():
     d0_b, stream_b, _ = eng.record_stream(codes, thr)
     assert d0_a == d0_b
     assert stream_a == stream_b
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("k,ws,r,n,seed", [
+    (3, 20, 1, 3000, 0),
+    (4, 33, 2, 5000, 1),
+    (5, 64, 7, 8000, 2),
+    (6, 289, 84, 12000, 3),
+    (7, 150, 3, 9000, 4),
+    (2, 9, 5, 700, 5),
+])
+def test_engine_stream_fuzz_vs_oracle(k, ws, r, n, seed):
+    """Engine candidate streams vs the brute-force oracle across parameter
+    shapes (k, ws, r) - the reference test strategy's golden-vector idea
+    extended to randomized conformance."""
+    import numpy as np
+    from kmergma_tpu.models.state_machine import candidate_stream_from_dists, replay_single
+    from kmergma_tpu.ops.scan import ScanEngine, scan_window_distances_np
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    s = rng.integers(0, 3 * r, 4**k).astype(np.int64)
+    scale = 2.0 * k * r * r
+    d = scan_window_distances_np(codes, s, k, ws, r).astype(np.float64) / scale
+    thr = float(np.percentile(d, 3))
+
+    eng = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=2048)
+    d0, stream, _ = eng.record_stream(codes, thr)
+    assert d0 == d[0]
+    expected = replay_single(candidate_stream_from_dists(d, thr), d[0], thr, k, ws, n, buff=7)
+    got = replay_single(stream, d0, thr, k, ws, n, buff=7)
+    assert [(h.cmi, h.dist, h.start, h.stop) for h in got] == [
+        (h.cmi, h.dist, h.start, h.stop) for h in expected
+    ]
+    # below-threshold stream values are the exact distances
+    below = {j: v for j, v in stream if v < thr}
+    for j, v in below.items():
+        assert v == d[j]
