@@ -687,9 +687,19 @@ class ScanEngine:
         shipped as explicit rows - the sharded path, where no single device
         holds the whole record).
         """
+        return self._assemble_finish(self._assemble_plan(source, nw, thr, bitmaps))
+
+    def _assemble_plan(self, source, nw: int, thr: float, bitmaps: np.ndarray) -> dict:
+        """Phase 1 of stream assembly: derive the active regions and
+        DISPATCH their compact exact fetch without blocking.
+
+        Splitting dispatch from fetch lets callers with several independent
+        assemblies (the cluster engine's m per-cluster streams) put every
+        fetch in flight before the first blocking read - the round-trip
+        latencies overlap instead of summing.
+        """
         thr_int = self._thr_int(thr)
         thr_dev = jnp.asarray(np.asarray([thr_int], dtype=np.int32))
-        stream: list[tuple[int, float]] = []
         block = self.block
 
         # active blocks, expanded one block right (covers every rising edge)
@@ -707,9 +717,36 @@ class ScanEngine:
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
         cap = min(self.region_cap, rspan)
-        d0s, masks, vals, idxs = self._fetch_regions_compact(
-            source, starts_pad, nw, thr_dev, rspan, n_regions, cap
-        )
+
+        def dispatch():
+            return self._dispatch_regions_compact(
+                source, starts_pad, nw, thr_dev, rspan, n_regions, cap
+            )
+
+        try:
+            handles = dispatch()
+        except jax.errors.JaxRuntimeError:  # transport hiccup: retry at fetch
+            handles = None
+        return {
+            "handles": handles, "dispatch": dispatch, "source": source,
+            "nw": nw, "thr": thr, "thr_int": thr_int,
+            "starts": starts, "rspan": rspan, "cap": cap,
+        }
+
+    def _assemble_finish(self, plan: dict):
+        """Phase 2: fetch the compact region results and assemble the exact
+        candidate stream (re-dispatching once on a transport failure)."""
+        source, nw, thr = plan["source"], plan["nw"], plan["thr"]
+        thr_int, starts, rspan, cap = plan["thr_int"], plan["starts"], plan["rspan"], plan["cap"]
+        stream: list[tuple[int, float]] = []
+        try:
+            if plan["handles"] is None:
+                raise jax.errors.JaxRuntimeError("deferred dispatch failure")
+            d0s, masks, vals, idxs = jax.tree.map(np.asarray, plan["handles"])
+        except jax.errors.JaxRuntimeError:
+            d0s, masks, vals, idxs = _with_retry(
+                lambda: jax.tree.map(np.asarray, plan["dispatch"]())
+            )
         if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
         dist0 = float(d0s[0]) / self.scale
@@ -785,32 +822,24 @@ class ScanEngine:
             rows[i, : seg.shape[0]] = seg
         return rows
 
-    def _fetch_regions_compact(self, source, starts_pad, nw, thr_dev, rspan, n_regions, cap):
+    def _dispatch_regions_compact(self, source, starts_pad, nw, thr_dev, rspan, n_regions, cap):
+        """Dispatch the compact exact region fetch; returns device handles
+        (the caller materialises them, possibly after other dispatches)."""
         if isinstance(source, PreparedCodes):
             nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
-            return _with_retry(
-                lambda: jax.tree.map(
-                    np.asarray,
-                    _scan_regions_compact(
-                        source.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
-                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                        n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
-                    ),
-                )
+            return _scan_regions_compact(
+                source.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
+                k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
             )
         rows = self._region_rows(source, starts_pad, rspan)
         limits = np.minimum(
             rspan, np.maximum(0, nw - starts_pad.astype(np.int64))
         ).astype(np.int32)
-        return _with_retry(
-            lambda: jax.tree.map(
-                np.asarray,
-                _scan_region_rows_compact(
-                    jnp.asarray(rows), jnp.asarray(limits), self.s_dev, thr_dev,
-                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                    n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
-                ),
-            )
+        return _scan_region_rows_compact(
+            jnp.asarray(rows), jnp.asarray(limits), self.s_dev, thr_dev,
+            k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+            n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
         )
 
     def _fetch_regions_full(self, source, ostarts, rspan, n_over):

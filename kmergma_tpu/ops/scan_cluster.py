@@ -202,9 +202,10 @@ class ClusterScanEngine:
                 )
             )
         )  # (n_spans, m, blocks)
-        out = []
-        for ci, (eng, thr) in enumerate(zip(self.engines, thrs)):
-            bm = bitmaps[:, ci, :].reshape(-1)
-            dist0, stream = eng._assemble_stream(prep, int(n_valids[ci]), thr, bm)
-            out.append((dist0, stream))
-        return out
+        # two-phase assembly: dispatch every cluster's region fetch first,
+        # then fetch - the m round-trip latencies overlap instead of summing
+        plans = [
+            eng._assemble_plan(prep, int(n_valids[ci]), thr, bitmaps[:, ci, :].reshape(-1))
+            for ci, (eng, thr) in enumerate(zip(self.engines, thrs))
+        ]
+        return [eng._assemble_finish(p) for eng, p in zip(self.engines, plans)]

@@ -222,12 +222,12 @@ class ShardedClusterScanEngine(ClusterScanEngine):
                 )
             )
         )
-        out = []
-        for ci, (eng, thr) in enumerate(zip(self.engines, thrs)):
-            bm = bitmaps[:, ci, :].reshape(-1)
-            dist0, stream = eng._assemble_stream(codes, int(n_valids[ci]), thr, bm)
-            out.append((dist0, stream))
-        return out
+        # two-phase assembly: all clusters' region fetches in flight first
+        plans = [
+            eng._assemble_plan(codes, int(n_valids[ci]), thr, bitmaps[:, ci, :].reshape(-1))
+            for ci, (eng, thr) in enumerate(zip(self.engines, thrs))
+        ]
+        return [eng._assemble_finish(p) for eng, p in zip(self.engines, plans)]
 
 
 # ---------------------------------------------------------------------------
