@@ -561,7 +561,7 @@ class ScanEngine:
             if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
                 self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
             codes = np.asarray(codes, dtype=np.int8)
-            bitmaps = _with_retry(lambda: self._segmented_bitmaps(codes, nw, self._thr_cache[1]))
+            bitmaps = _with_retry(lambda: self._segmented_bitmaps(codes, nw, thr_int))
             dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps)
             return dist0, stream, None
 
@@ -610,10 +610,11 @@ class ScanEngine:
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
 
-    def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
-        """Whole-record bitmaps via the fully-fused Mosaic kernel
-        (ops/scan_fused.py): one pallas_call, no per-span lax.scan, no XLA
-        K-code/lookup/cumsum glue.  Bit-identical to the split pass."""
+    def _fused_bitmaps_handle(self, prep: PreparedCodes, nw: int, thr_int):
+        """Dispatch the fully-fused Mosaic bitmap kernel (ops/scan_fused.py):
+        one pallas_call, no per-span lax.scan, no XLA K-code/lookup/cumsum
+        glue; the first-window bound l0 is computed ON DEVICE so nothing
+        blocks before the caller fetches.  Returns the device handle."""
         from .scan_fused import ROWS as FROWS, fused_record_bitmaps
 
         t = 8192
@@ -624,18 +625,20 @@ class ScanEngine:
         if prep.dev.shape[0] < n_tiles * t + t + hw:
             raise AssertionError("prepared record too small for the fused tiling")
         depth = self.bound_depth
-        l0 = int(
-            _first_window_l0(prep.dev, self.s_dev, k=self.k, ws=self.ws, r=self.r, depth=depth)
+        l0 = _first_window_l0(prep.dev, self.s_dev, k=self.k, ws=self.ws, r=self.r, depth=depth)
+        meta = jnp.stack(
+            [jnp.int32(int(thr_int)), l0.astype(jnp.int32), jnp.int32(nw)]
         )
-        meta = jnp.asarray(np.asarray([int(thr_int), l0, nw], dtype=np.int32))
-        bm = fused_record_bitmaps(
+        return fused_record_bitmaps(
             prep.dev, self.s_dev, meta,
             k=self.k, ws=self.ws, r=self.r, depth=depth,
             t=t, block=self.block, n_tiles=n_tiles,
         )
-        return np.asarray(bm).reshape(-1)
 
-    def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_dev) -> np.ndarray:
+    def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
+        return np.asarray(self._fused_bitmaps_handle(prep, nw, thr_int)).reshape(-1)
+
+    def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.
 
         Splits the record into fixed segments of 2 x chunk windows, and for
@@ -648,6 +651,10 @@ class ScanEngine:
         """
         seg = 2 * self.chunk
         blocks_per_seg = seg // self.block
+        thr_dev = jnp.asarray(np.asarray([thr_int], dtype=np.int32))
+        # the fused kernel's tiling needs more headroom than tiny test
+        # chunks provide; production chunks (>= 2^16 windows) always do
+        fused = self.use_fused and self.chunk >= (1 << 16)
         pending: list = []  # (prep, bm_handle) not yet fetched
         out: list[np.ndarray] = []
         for off in range(0, nw, seg):
@@ -657,13 +664,17 @@ class ScanEngine:
             # covers exactly those, so clamp validity to the segment too
             # (prepare_codes buckets by code length, which may round up to
             # an extra span - those trailing blocks are trimmed below)
-            nv = jnp.asarray(np.asarray([min(nw - off, seg)], dtype=np.int32))
-            bm = _scan_record_bitmaps(
-                prep.dev, nv, self.s_dev, thr_dev,
-                k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
-                n_spans=prep.n_spans, use_pallas=self.use_pallas,
-                depth=self.bound_depth,
-            )
+            nv_seg = min(nw - off, seg)
+            if fused:
+                bm = self._fused_bitmaps_handle(prep, nv_seg, int(thr_int))
+            else:
+                nv = jnp.asarray(np.asarray([nv_seg], dtype=np.int32))
+                bm = _scan_record_bitmaps(
+                    prep.dev, nv, self.s_dev, thr_dev,
+                    k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
+                    n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                    depth=self.bound_depth,
+                )
             pending.append((prep, bm))
             if len(pending) > 2:  # fetch behind the dispatch front
                 out.append(np.asarray(pending.pop(0)[1]).reshape(-1)[:blocks_per_seg])

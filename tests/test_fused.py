@@ -68,3 +68,23 @@ def test_engine_fused_stream_matches_split():
     d0_b, stream_b, _ = fused.record_stream(codes, thr, codes_dev=fused.prepare_codes(codes))
     assert d0_a == d0_b
     assert stream_a == stream_b
+
+
+def test_segmented_fused_matches_split():
+    """The segmented long-record pipeline with the fused kernel produces
+    the identical stream as the split path."""
+    rng = np.random.default_rng(9)
+    k, ws, r = 6, 289, 9
+    codes = rng.integers(0, 4, 140000, dtype=np.int8)
+    s = rng.integers(0, 10, 4**k).astype(np.int32)
+
+    split = S.ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=65536)
+    _, probe, _ = split.record_stream(codes, thr=1e9, codes_dev=split.prepare_codes(codes))
+    thr = float(np.percentile([v for _, v in probe], 5))
+    d0_a, stream_a, _ = split.record_stream(codes, thr)  # segmented split
+
+    fused = S.ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=65536, use_pallas=True, use_fused=True)
+    assert codes.shape[0] - ws + 1 > 2 * fused.chunk
+    d0_b, stream_b, _ = fused.record_stream(codes, thr)  # segmented fused
+    assert d0_a == d0_b
+    assert stream_a == stream_b
