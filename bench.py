@@ -43,18 +43,53 @@ import time
 import numpy as np
 
 
-def _plant_genes(codes: np.ndarray, ref_records, spacing: int) -> int:
-    """Overwrite the synthetic genome with real V genes every ``spacing`` bp
-    (cycling through the reference set).  Returns the number planted."""
-    n = 0
-    pos = spacing // 2
-    while pos + 400 < codes.shape[0]:
-        rec = ref_records[n % len(ref_records)]
-        g = rec.codes
-        codes[pos : pos + g.shape[0]] = g
-        n += 1
-        pos += spacing
-    return n
+def _device_random_genome(engine, n_bp: int, seed: int, max_ws: int):
+    """Synthetic random genome generated ON DEVICE (PreparedCodes layout).
+
+    The benchmark's genomes are synthetic, so nothing needs to cross the
+    host->device link (the relay's H2D can be ~0.1 MB/s on bad days and
+    would turn a 512 Mbp benchmark into an hour of transfer); padding
+    regions beyond the record are masked by the engine exactly like zero
+    padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmergma_tpu.ops.scan import PreparedCodes, _span_bucket
+
+    n_spans = _span_bucket(max(1, -(-n_bp // engine.chunk)))
+    total = n_spans * engine.chunk + engine.rspan + max_ws + 1
+    total = -(-total // 4) * 4
+    piece = 16 << 20
+    if total > 4 * piece:
+        total = -(-total // (4 * piece)) * (4 * piece)
+    dev = jax.random.randint(jax.random.PRNGKey(seed), (total,), 0, 4, dtype=jnp.int8)
+    return PreparedCodes(dev, n_spans)
+
+
+def _plant_genes_device(prep, ref_records, n_bp: int, spacing: int):
+    """Overwrite the device genome with real V genes every ``spacing`` bp
+    (cycling through the reference set, trimmed to the set's minimum length
+    so the patch tensor is rectangular - only ~36 KB crosses the link).
+    Returns (new PreparedCodes, number planted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmergma_tpu.ops.scan import PreparedCodes
+
+    glen = min(len(r) for r in ref_records)
+    genes = np.stack([r.codes[:glen] for r in ref_records])
+    positions = np.arange(spacing // 2, n_bp - glen - 100, spacing, dtype=np.int32)
+    patch = jnp.asarray(genes[np.arange(len(positions)) % len(ref_records)])
+    pos_dev = jnp.asarray(positions)
+
+    @jax.jit
+    def plant(dev, patch, pos):
+        def body(i, d):
+            return jax.lax.dynamic_update_slice(d, patch[i], (pos[i],))
+
+        return jax.lax.fori_loop(0, pos.shape[0], body, dev)
+
+    return PreparedCodes(plant(prep.dev, patch, pos_dev), prep.n_spans), len(positions)
 
 
 def _time_best(fn, repeats: int = 3) -> float:
@@ -89,9 +124,6 @@ def main() -> None:
     profile = gen_ref_ws_cons(ref_path, 6)
     thr = 30.0
 
-    rng = np.random.default_rng(42)
-    codes = rng.integers(0, 4, n_bp, dtype=np.int8)
-
     chunk_env = os.environ.get("BENCH_CHUNK")
     eng_kwargs = {}
     if chunk_env:
@@ -104,20 +136,24 @@ def main() -> None:
     )
 
     # ---- headline: random genome, production single-profile path ----
+    # (genome generated on device: synthetic data needs no H2D; production
+    # records cross the link packed 4 bases/byte, timed separately by
+    # tests/scripts - the metric matches the reference's in-RAM scan)
     t0 = time.perf_counter()
-    prep = engine.prepare_codes(codes)
+    prep = _device_random_genome(engine, n_bp, seed=42, max_ws=profile.windowsize + 1)
     _ = np.asarray(prep.dev[:4])  # force completion
-    transfer = time.perf_counter() - t0
+    gen_s = time.perf_counter() - t0
+    codes_shape = np.zeros(n_bp, dtype=np.int8)  # shape carrier only
 
     t0 = time.perf_counter()
-    engine.record_stream(codes, thr, codes_dev=prep)  # warmup compiles
+    engine.record_stream(codes_shape, thr, codes_dev=prep)  # warmup compiles
     first = time.perf_counter() - t0
 
     dist0 = stream = None
 
     def run_random():
         nonlocal dist0, stream
-        dist0, stream, _ = engine.record_stream(codes, thr, codes_dev=prep)
+        dist0, stream, _ = engine.record_stream(codes_shape, thr, codes_dev=prep)
 
     best = _time_best(run_random)
     hits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, n_bp, 50)
@@ -131,23 +167,22 @@ def main() -> None:
         "vs_baseline": round(mbps / 40.0, 2),
     }
     notes = [
-        f"# random: {n_mbp:.0f} Mbp scan {best:.2f}s ({mbps:.0f} Mbp/s); one-time H2D {transfer:.2f}s "
-        f"(relay-limited; e2e incl transfer {n_bp/(best+transfer)/1e6:.0f} Mbp/s); "
+        f"# random: {n_mbp:.0f} Mbp scan {best:.2f}s ({mbps:.0f} Mbp/s); device genome gen {gen_s:.2f}s; "
         f"first pass {first:.2f}s; {len(stream)} candidates, {len(hits)} hits"
     ]
 
     if not skip_extras:
         # ---- hit-dense genome: region recompute + replay in the loop ----
         refs = as_records(ref_path)
-        dcodes = rng.integers(0, 4, dense_bp, dtype=np.int8)
-        planted = _plant_genes(dcodes, refs, spacing=500_000)
-        dprep = engine.prepare_codes(dcodes)
+        dprep = _device_random_genome(engine, dense_bp, seed=7, max_ws=profile.windowsize + 1)
+        dprep, planted = _plant_genes_device(dprep, refs, dense_bp, spacing=500_000)
         _ = np.asarray(dprep.dev[:4])
-        engine.record_stream(dcodes, thr, codes_dev=dprep)  # warmup
+        dcodes_shape = np.zeros(dense_bp, dtype=np.int8)
+        engine.record_stream(dcodes_shape, thr, codes_dev=dprep)  # warmup
 
         def run_dense():
             nonlocal dist0, stream
-            dist0, stream, _ = engine.record_stream(dcodes, thr, codes_dev=dprep)
+            dist0, stream, _ = engine.record_stream(dcodes_shape, thr, codes_dev=dprep)
 
         dbest = _time_best(run_dense)
         dhits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, dense_bp, 50)
@@ -164,15 +199,17 @@ def main() -> None:
         m = len(clusters.profiles)
         thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][:m]
         ceng = ClusterScanEngine(clusters.profiles, k=6, **eng_kwargs)
-        cprep = ceng.prepare_codes(dcodes)
-        ceng.record_streams(dcodes, thrs, codes_dev=cprep)  # warmup
+        # the dense device genome is padded for max_ws+1, so the cluster
+        # engines (max ws 290) can share it without a second transfer
+        cprep = dprep
+        ceng.record_streams(dcodes_shape, thrs, codes_dev=cprep)  # warmup
 
         windowsizes = [p.windowsize for p in clusters.profiles]
         n_events = 0
 
         def run_cluster():
             nonlocal n_events
-            pairs = ceng.record_streams(dcodes, thrs, codes_dev=cprep)
+            pairs = ceng.record_streams(dcodes_shape, thrs, codes_dev=cprep)
             events = []
 
             def process(ev: OmnHitEvent) -> bool:
