@@ -115,8 +115,22 @@ def find_genes(
     if do_return_dists:
         out.append(res.dists)
     if verbose:
+        _log_stats(res)
         logger.info("genome mining completed successfully")
     return out
+
+
+def _log_stats(res) -> None:
+    """Observability: one structured line per mine run (SURVEY.md 5.5)."""
+    s = res.stats
+    if s is None:
+        return
+    import dataclasses
+    import json as _json
+
+    payload = dataclasses.asdict(s)
+    payload["mbp_per_second"] = round(s.mbp_per_second, 2)
+    logger.info("scan stats: %s", _json.dumps(payload))
 
 
 def find_genes_cluster_mode(
@@ -204,6 +218,7 @@ def find_genes_cluster_mode(
     if do_return_dists:
         out.append(res.dists)
     if verbose:
+        _log_stats(res)
         logger.info("genome mining completed successfully")
     return out
 

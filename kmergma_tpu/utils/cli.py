@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--checkpoint", default=None,
         help="checkpoint file for per-record resume of interrupted scans",
     )
+    p.add_argument(
+        "--stats", action="store_true",
+        help="log scan observability counters (a 'scan stats:' JSON line)",
+    )
 
 
 def _emit(hits, loci, args) -> None:
@@ -82,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     p4.add_argument("--no-overlap", action="store_true")
 
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.WARNING if getattr(args, "quiet", False) else logging.INFO)
+    # --stats re-enables INFO logging (the stats line) even under -q
+    verbose = not getattr(args, "quiet", False) or getattr(args, "stats", False)
+    logging.basicConfig(level=logging.INFO if verbose else logging.WARNING)
 
     if args.cmd == "exact-match":
         from ..ops.exact_match import exact_match
@@ -105,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         out = api.find_genes(
             genome_path=args.genome, ref_path=args.refs, k=args.k,
             kmer_dist_thr=args.thr, do_align=not args.no_align,
-            do_return_hit_loci=True, verbose=not args.quiet,
+            do_return_hit_loci=True, verbose=verbose,
             devices=args.devices, checkpoint_path=args.checkpoint, **common,
         )
     elif args.cmd == "find-genes-cluster":
@@ -117,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         out = api.find_genes_cluster_mode(
             genome_path=args.genome, ref_path=args.refs, k=args.k,
             do_align=not args.no_align, do_return_hit_loci=True,
-            verbose=not args.quiet,
+            verbose=verbose,
             devices=args.devices, checkpoint_path=args.checkpoint, **kwargs,
         )
     else:  # strobe-find-genes
@@ -129,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             s=args.s, w_min=args.w_min, w_max=args.w_max, q=args.q_prime,
             kmer_dist_thr=args.thr, do_align=not args.no_align,
             align_score_thr=args.align_score_thr, do_return_hit_loci=True,
-            verbose=not args.quiet,
+            verbose=verbose,
             **({"buffer": args.buffer} if args.buffer is not None else {}),
         )
 
