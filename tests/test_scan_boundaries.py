@@ -68,3 +68,35 @@ def test_candidate_exactly_at_span_boundary():
     got = replay_single(stream, d0, thr, k, ws, n, buff=5)
     assert [(h.cmi, h.dist) for h in got] == [(h.cmi, h.dist) for h in expected]
     assert len(got) == 1
+
+
+def test_segment_boundary_straddling_hit(ref_fasta):
+    """A planted gene straddling the segmented pipeline's segment boundary
+    must produce the identical stream and hits as the single-transfer path."""
+    import numpy as np
+
+    from kmergma_tpu.models.state_machine import replay_single
+    from kmergma_tpu.ops.reference import gen_ref_ws_cons
+    from kmergma_tpu.ops.scan import ScanEngine
+    from kmergma_tpu.utils.fasta import as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    k, ws = profile.k, profile.windowsize
+    eng = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records, chunk_windows=8192)
+    seg = 2 * eng.chunk  # segment length in windows
+
+    rng = np.random.default_rng(13)
+    n = 3 * seg + ws
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    gene = as_records(ref_fasta)[0].codes
+    # straddle the first segment boundary, and place one mid-segment too
+    for pos in (seg - gene.shape[0] // 2, seg + seg // 2):
+        codes[pos : pos + gene.shape[0]] = gene
+
+    d0_a, stream_a, _ = eng.record_stream(codes, 30.0, codes_dev=eng.prepare_codes(codes))
+    d0_b, stream_b, _ = eng.record_stream(codes, 30.0)  # segmented
+    assert d0_a == d0_b
+    assert stream_a == stream_b
+    hits = replay_single(stream_b, d0_b, 30.0, k, ws, n, buff=50)
+    # the straddling plant must be found, with its minimum near the boundary
+    assert hits and abs(hits[0].cmi - (seg - gene.shape[0] // 2)) < ws
