@@ -122,3 +122,21 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (4096,)
+
+
+def test_tp_profile_lookup_matches_replicated():
+    """Profile-axis TP: the sharded S[K] lookup equals the replicated one
+    (SURVEY.md section 2.2 TP row, for large-k tables)."""
+    import jax.numpy as jnp
+
+    from kmergma_tpu.parallel.tp_lookup import shard_profile, tp_profile_lookup
+
+    rng = np.random.default_rng(8)
+    k = 7  # 16384 bins -> 2048 per device on the 8-device mesh
+    s = rng.integers(0, 50, 4**k).astype(np.int32)
+    kcodes = rng.integers(0, 4**k, 100000).astype(np.int32)
+
+    mesh = make_mesh(8)
+    s_dev = shard_profile(s, mesh)
+    got = np.asarray(tp_profile_lookup(jnp.asarray(kcodes), s_dev, mesh=mesh))
+    assert got.tolist() == s[kcodes].tolist()
