@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..consts import BITS_NT, NT_BITS, encode_seq
+from ..consts import BITS_NT, encode_seq
 
 
 def _as_codes(seq) -> np.ndarray:
