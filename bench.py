@@ -62,7 +62,19 @@ def _device_random_genome(engine, n_bp: int, seed: int, max_ws: int):
     piece = 16 << 20
     if total > 4 * piece:
         total = -(-total // (4 * piece)) * (4 * piece)
-    dev = jax.random.randint(jax.random.PRNGKey(seed), (total,), 0, 4, dtype=jnp.int8)
+
+    # splitmix-style integer hash of the position index: statistically
+    # uniform 2-bit codes, deterministic per seed, and a tiny fully-fused
+    # XLA graph (jax.random.randint's threefry graph took ~10 min to
+    # compile through the remote-compile relay at 512 Mbp)
+    @jax.jit
+    def gen(seed_arr):
+        x = jnp.arange(total, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9) + seed_arr[0]
+        x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+        x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+        return ((x >> 7) & 3).astype(jnp.int8)
+
+    dev = gen(jnp.asarray([seed], dtype=jnp.uint32))
     return PreparedCodes(dev, n_spans)
 
 

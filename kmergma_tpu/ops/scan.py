@@ -255,9 +255,14 @@ def _scan_span_bound(codes, s_profile, k, ws, r, depth, use_pallas):
     if depth is None:
         return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
     if use_pallas:
-        from .scan_pallas import scan_window_lower_bounds_pallas
+        if os.environ.get("KMERGMA_KCODES_XLA", "") == "1":
+            # ablation knob: the older kcodes-in pipeline (XLA K-code build)
+            from .scan_pallas import scan_window_lower_bounds_pallas
 
-        return scan_window_lower_bounds_pallas(codes, s_profile, k, ws, r, depth)
+            return scan_window_lower_bounds_pallas(codes, s_profile, k, ws, r, depth)
+        from .scan_pallas import scan_window_lower_bounds_codes
+
+        return scan_window_lower_bounds_codes(codes, s_profile, k, ws, r, depth)
     return scan_window_lower_bounds(codes, s_profile, k, ws, r, depth)
 
 

@@ -64,16 +64,27 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     """
     span = pos.shape[0]
     m = s_stack.shape[0]
-    kcodes_all = rolling_kmer_codes_jnp(codes_span, k)
+    nt = span - 1
+    max_w = max(g[0] for g in groups) - k + 1
+    kcodes_all = None
+    if use_pallas:
+        # ONE codes-in kernel call builds the K codes for every group and
+        # the pair deltas of the first group; remaining windowsize groups
+        # reuse the K codes through the kcodes-in pair kernel.
+        from .scan_pallas import codes_pair_ab_kcodes, pair_ab_from_kcodes
+
+        w0, depth0 = groups[0][0] - k + 1, groups[0][1]
+        ab0, kcodes_all = codes_pair_ab_kcodes(
+            codes_span, k, w0, nt, span + max_w - 1, depth0
+        )
+    else:
+        kcodes_all = rolling_kmer_codes_jnp(codes_span, k)
     bitmaps: list = [None] * m
-    for ws, depth, idxs, rs in groups:
+    for gi, (ws, depth, idxs, rs) in enumerate(groups):
         w = ws - k + 1
         kc = jax.lax.slice(kcodes_all, (0,), (span + w - 1,))
-        nt = span - 1
         if use_pallas:
-            from .scan_pallas import pair_ab_from_kcodes
-
-            ab = pair_ab_from_kcodes(kc, w, nt, depth)
+            ab = ab0 if gi == 0 else pair_ab_from_kcodes(kc, w, nt, depth)
         else:
             ab = _pair_ab_xla(kc, w, nt, depth)
         p0 = _shared_p0(kc, w, depth)

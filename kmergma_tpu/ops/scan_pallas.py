@@ -72,7 +72,7 @@ def _match_counts_kernel(k_ref, ab_ref, *, w: int, t: int):
     ab_ref[:, :] = a - b
 
 
-def _pair_counts_kernel(kmain_ref, khalo_ref, ab_ref, *, w: int, t: int, depth: int):
+def _pair_counts_kernel(kmain_ref, khalo_ref, ab_ref, *, w: int, t: int, depth: int, rows: int = ROWS):
     """Partial-depth variant: net pair-match delta at depths 1..depth only.
 
     ab[p] = sum_{d=1..depth} eq(K[p+W-d], K[p+W]) - eq(K[p+d], K[p])
@@ -93,36 +93,37 @@ def _pair_counts_kernel(kmain_ref, khalo_ref, ab_ref, *, w: int, t: int, depth: 
     kl = k_all[:, :t]
     kr = k_all[:, w : w + t]
 
-    a = jnp.zeros((ROWS, t), dtype=jnp.int32)
-    b = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    a = jnp.zeros((rows, t), dtype=jnp.int32)
+    b = jnp.zeros((rows, t), dtype=jnp.int32)
     for d in range(1, depth + 1):
         a = a + (k_all[:, w - d : w - d + t] == kr).astype(jnp.int32)
         b = b + (k_all[:, d : d + t] == kl).astype(jnp.int32)
     ab_ref[:, :] = a - b
 
 
-@partial(jax.jit, static_argnames=("w", "t", "depth", "interpret"))
-def pair_counts(tiles_main: jnp.ndarray, tiles_halo: jnp.ndarray, w: int, t: int, depth: int, interpret: bool | None = None):
+@partial(jax.jit, static_argnames=("w", "t", "depth", "rows", "interpret"))
+def pair_counts(tiles_main: jnp.ndarray, tiles_halo: jnp.ndarray, w: int, t: int, depth: int, rows: int = ROWS, interpret: bool | None = None):
     """Partial-depth net pair-match deltas per transition, per tile.
 
     tiles_main: (n_tiles, t) int32 k-mer codes (tile i = K[i*t : i*t + t]);
     tiles_halo: (n_tiles, >=w) int32 (tile i = K[i*t + t : i*t + t + w]).
-    n_tiles must be a multiple of ROWS.  Returns (n_tiles, t) int32.
+    n_tiles must be a multiple of ``rows`` (tiles per grid step; more rows
+    amortise the fixed per-step cost).  Returns (n_tiles, t) int32.
     """
     if interpret is None:
         interpret = _interpret_default()
     n_tiles = tiles_main.shape[0]
     hw = tiles_halo.shape[1]
-    grid = (n_tiles // ROWS,)
+    grid = (n_tiles // rows,)
     return pl.pallas_call(
-        partial(_pair_counts_kernel, w=w, t=t, depth=depth),
+        partial(_pair_counts_kernel, w=w, t=t, depth=depth, rows=rows),
         out_shape=jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(tiles_main, tiles_halo)
 
@@ -204,6 +205,7 @@ def pair_ab_from_kcodes(
     nt: int,
     depth: int,
     tile_windows: int = 8192,
+    rows: int = ROWS,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Pallas-backed net pair-match deltas ab[0:nt] from precomputed K codes
@@ -217,7 +219,7 @@ def pair_ab_from_kcodes(
         interpret = _interpret_default()
     t = tile_windows
     n_tiles = -(-nt // t)
-    n_tiles_pad = -(-n_tiles // ROWS) * ROWS
+    n_tiles_pad = -(-n_tiles // rows) * rows
     hw = -(-w // 128) * 128  # lane-aligned halo width
     pad = n_tiles_pad * t + hw - kcodes.shape[0]
     kcodes_pad = jnp.pad(kcodes, (0, max(0, pad)))
@@ -226,8 +228,138 @@ def pair_ab_from_kcodes(
     tiles_halo = jax.vmap(
         lambda i: jax.lax.dynamic_slice(kcodes_pad, ((i + 1) * t,), (hw,))
     )(jnp.arange(n_tiles_pad))
-    ab = pair_counts(tiles_main, tiles_halo, w, t, depth, interpret=interpret)
+    ab = pair_counts(tiles_main, tiles_halo, w, t, depth, rows=rows, interpret=interpret)
     return ab.reshape(-1)[:nt]
+
+
+def _codes_pair_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int, w: int, t: int, depth: int, rows: int):
+    """Codes-in variant: raw 2-bit codes in, (ab, kcodes) out.
+
+    Folds the rolling K-code build into the pair kernel so the XLA
+    genome-length K-code pass (the single most expensive glue stage of the
+    split pipeline: six unaligned lane rotations through HBM) disappears;
+    codes enter VMEM as int8 (4x less HBM traffic than int32 K codes) and
+    the K build is ``k`` shift-adds over VMEM-resident lanes.
+
+    The depth loop uses a SHARED compare stream per depth (the trick from
+    scan_fused.py step 2): eq_d[i] = (K[i] == K[i+d]) serves both the
+    entering term (lane-shifted by w-d) and the leaving term, so each depth
+    costs 1 compare + 2 adds instead of 2 compares + 2 adds.
+
+    main_ref: (rows, t) int8; halo_ref: (rows, hw >= w + k - 1) int8;
+    ab_ref: (rows, t) int32 net pair deltas; kc_ref: (rows, t) int32 K codes
+    of the main lanes (consumed by the XLA profile lookup downstream).
+    """
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+    lk = t + w
+    kc = codes[:, :lk] << (2 * (k - 1))
+    for j in range(1, k):
+        kc = kc + (codes[:, j : j + lk] << (2 * (k - 1 - j)))
+    kc_ref[:, :] = kc[:, :t]
+
+    ab = jnp.zeros((rows, t), dtype=jnp.int32)
+    for d in range(1, depth + 1):
+        eq = (kc[:, : lk - d] == kc[:, d:lk]).astype(jnp.int32)
+        ab = ab + (eq[:, w - d : w - d + t] - eq[:, :t])
+    ab_ref[:, :] = ab
+
+
+@partial(jax.jit, static_argnames=("k", "w", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
+def codes_pair_ab_kcodes(
+    codes_pad: jnp.ndarray,
+    k: int,
+    w: int,
+    nt: int,
+    nkc: int,
+    depth: int,
+    tile_windows: int = 8192,
+    rows: int = 8,
+    interpret: bool | None = None,
+):
+    """Net pair deltas AND K codes straight from int8 codes (one kernel).
+
+    codes_pad: int8[>= n_tiles*t + hw] (pad is cheap: int8, done by caller
+    or here).  Returns (ab int32[nt], kcodes int32[nkc]) - bit-identical to
+    (_pair_ab_xla(K, w, nt, depth), rolling_kmer_codes_jnp(codes, k)[:nkc]).
+
+    ``rows`` tiles per grid step (a multiple of 8).  The depth loop is a
+    static unroll, and Mosaic's stack allocator keeps one eq temp live per
+    depth: the scoped-VMEM budget is ~ rows * (t + w) * depth * 4 B, which
+    caps rows at 8 for t=8192, depth=32 (16 MB scoped VMEM; rows=32 was
+    measured to OOM at 36 MB).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    t = tile_windows
+    need = max(nt, nkc)
+    n_tiles = -(-need // t)
+    n_tiles = -(-n_tiles // rows) * rows
+    hw = -(-(w + k - 1) // 128) * 128
+    total = n_tiles * t + hw
+    if codes_pad.shape[0] < total:
+        codes_pad = jnp.pad(codes_pad, (0, total - codes_pad.shape[0]))
+    main = codes_pad[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    ab, kc = pl.pallas_call(
+        partial(_codes_pair_kernel, k=k, w=w, t=t, depth=depth, rows=rows),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        ),
+        grid=(n_tiles // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(main, halo)
+    return ab.reshape(-1)[:nt], kc.reshape(-1)[:nkc]
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret"))
+def scan_window_lower_bounds_codes(
+    codes: jnp.ndarray,
+    s_profile: jnp.ndarray,
+    k: int,
+    ws: int,
+    r: int,
+    depth: int,
+    tile_windows: int = 8192,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Certified lower bounds with the codes-in kernel (production TPU path).
+
+    Bit-identical to ops.scan.scan_window_lower_bounds; vs the kcodes-in
+    pipeline (scan_window_lower_bounds_pallas) it removes the XLA K-code
+    build and the overlapped-halo int32 reads - the kernel emits both ab and
+    the K codes the profile lookup needs.
+    """
+    n = codes.shape[0]
+    w = ws - k + 1
+    nw = n - ws + 1
+    nt = max(nw - 1, 1)
+    nkc = nw + w - 1  # K lanes the lookup needs: g[0 .. nw-1+w)
+    ab, kcodes = codes_pair_ab_kcodes(
+        codes, k, w, nt, nkc, depth, tile_windows, interpret=interpret
+    )
+    g = profile_lookup(kcodes, s_profile)
+
+    from .scan import _lower_bound_base
+
+    l0 = _lower_bound_base(kcodes, g, s_profile, w, r, depth)
+    if nw <= 1:
+        return l0[None]
+    r2 = jnp.int32(2 * r * r)
+    delta = r2 * ab + (2 * r) * (g[:nt] - g[w : w + nt])
+    return jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret"))
@@ -252,7 +384,7 @@ def scan_window_lower_bounds_pallas(
     kcodes = rolling_kmer_codes_jnp(codes, k)
     g = profile_lookup(kcodes, s_profile)
 
-    ab = pair_ab_from_kcodes(kcodes, w, max(nw - 1, 1), depth, tile_windows, interpret)
+    ab = pair_ab_from_kcodes(kcodes, w, max(nw - 1, 1), depth, tile_windows, interpret=interpret)
 
     r2 = jnp.int32(2 * r * r)
     delta = r2 * ab[: nw - 1] + (2 * r) * (g[: nw - 1] - g[w : w + nw - 1])

@@ -82,6 +82,50 @@ class TestLowerBounds:
         )
         assert a.tolist() == b.tolist()
 
+    @pytest.mark.parametrize("depth", [4, 32])
+    def test_codes_in_bounds_match_xla(self, depth):
+        """The codes-in kernel pipeline (production TPU path: K-code build
+        folded into the pair kernel, shared compare stream) is bit-identical
+        to the pure-XLA lower bounds."""
+        from kmergma_tpu.ops.scan import scan_window_lower_bounds
+        from kmergma_tpu.ops.scan_pallas import scan_window_lower_bounds_codes
+
+        rng = np.random.default_rng(100 + depth)
+        n, k, ws, r = 1500, 4, 97, 7
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        s = rng.integers(0, 10, 4**k).astype(np.int32)
+        a = np.asarray(
+            scan_window_lower_bounds(jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth)
+        )
+        b = np.asarray(
+            scan_window_lower_bounds_codes(
+                jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth,
+                tile_windows=256, interpret=True,
+            )
+        )
+        assert a.tolist() == b.tolist()
+
+    def test_codes_pair_kernel_matches_xla_parts(self):
+        """codes_pair_ab_kcodes == (_pair_ab_xla, rolling_kmer_codes_jnp)
+        across row counts and unaligned tails."""
+        from kmergma_tpu.ops.scan import _pair_ab_xla, rolling_kmer_codes_jnp
+        from kmergma_tpu.ops.scan_pallas import codes_pair_ab_kcodes
+
+        rng = np.random.default_rng(9)
+        n, k, w, depth = 2000, 5, 93, 16
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        kc_ref = np.asarray(rolling_kmer_codes_jnp(jnp.asarray(codes), k))
+        nt = n - w - 200
+        nkc = n - k + 1
+        ab_ref = np.asarray(_pair_ab_xla(jnp.asarray(kc_ref), w, nt, depth))
+        for rows in (8, 16):
+            ab, kc = codes_pair_ab_kcodes(
+                jnp.asarray(codes), k, w, nt, nkc, depth,
+                tile_windows=128, rows=rows, interpret=True,
+            )
+            assert np.asarray(kc).tolist() == kc_ref[:nkc].tolist()
+            assert np.asarray(ab).tolist() == ab_ref.tolist()
+
     @pytest.mark.parametrize("depth", [1, 16, None])
     def test_engine_bound_path_stream_exact(self, depth):
         from kmergma_tpu.ops.scan import ScanEngine
