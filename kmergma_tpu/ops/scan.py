@@ -42,6 +42,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: ablation knob, read ONCE at import (it participates in traced pipelines,
+#: so flipping it mid-process after a shape has been traced would silently
+#: keep the cached trace; set it before importing kmergma_tpu):
+#: KMERGMA_KCODES_XLA=1 keeps the superseded kcodes-in Pallas pipeline alive
+#: for scripts/ablate_codes_kernel.py comparisons.
+_KCODES_XLA = os.environ.get("KMERGMA_KCODES_XLA", "") == "1"
+
 
 def rolling_kmer_codes_jnp(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Device version of ops.kmers.rolling_kmer_codes: K[i] = code of k-mer at i."""
@@ -255,7 +262,7 @@ def _scan_span_bound(codes, s_profile, k, ws, r, depth, use_pallas):
     if depth is None:
         return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
     if use_pallas:
-        if os.environ.get("KMERGMA_KCODES_XLA", "") == "1":
+        if _KCODES_XLA:
             # ablation knob: the older kcodes-in pipeline (XLA K-code build)
             from .scan_pallas import scan_window_lower_bounds_pallas
 

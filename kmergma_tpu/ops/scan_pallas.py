@@ -112,6 +112,7 @@ def pair_counts(tiles_main: jnp.ndarray, tiles_halo: jnp.ndarray, w: int, t: int
     """
     if interpret is None:
         interpret = _interpret_default()
+    assert rows % 8 == 0, f"rows must be a multiple of 8 (int32 sublanes), got {rows}"
     n_tiles = tiles_main.shape[0]
     hw = tiles_halo.shape[1]
     grid = (n_tiles // rows,)
@@ -292,6 +293,7 @@ def codes_pair_ab_kcodes(
     """
     if interpret is None:
         interpret = _interpret_default()
+    assert rows % 8 == 0, f"rows must be a multiple of 8 (int32 sublanes), got {rows}"
     t = tile_windows
     need = max(nt, nkc)
     n_tiles = -(-need // t)

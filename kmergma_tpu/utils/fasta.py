@@ -87,6 +87,13 @@ def as_records(source: PathOrRecords) -> list[FastaRecord]:
         if native is not None:
             return native
         return list(read_fasta(source))
+    if hasattr(source, "read") or hasattr(source, "readline"):
+        # open file handle / stream (the reference dispatches on a live
+        # FASTA.Reader, ref ExactMatch.jl:100-121); text-mode handles are
+        # re-wrapped so the byte parser sees bytes
+        if isinstance(source, io.TextIOBase):
+            return list(parse_fasta(io.BytesIO(source.read().encode("ascii"))))
+        return list(parse_fasta(source))
     try:
         recs = list(source)
     except TypeError:

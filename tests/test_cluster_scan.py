@@ -45,6 +45,27 @@ def test_cluster_streams_match_serial_engines(seed):
         assert fused[ci][1] == stream, f"cluster {ci} stream mismatch"
 
 
+def test_cluster_pallas_matches_xla_bitmaps():
+    """The use_pallas=True wiring of _span_bitmaps (codes_pair_ab_kcodes
+    group-0 ab reuse + K-code sharing across windowsize groups) must produce
+    streams identical to the XLA path.  On CPU the Mosaic kernels run in
+    interpret mode, so this exercises the exact TPU wiring."""
+    rng = np.random.default_rng(3)
+    k = 5
+    windowsizes = [96, 96, 110]  # >= 2 windowsize groups
+    profiles = [_mk_profile(rng, k, ws, r) for ws, r in zip(windowsizes, [3, 5, 4])]
+    codes = rng.integers(0, 4, size=3000, dtype=np.int8)
+    thrs = [55.0, 60.0, 52.0]
+
+    ce_x = ClusterScanEngine(profiles, k=k, use_pallas=False)
+    ce_p = ClusterScanEngine(profiles, k=k, use_pallas=True)
+    assert ce_p.use_pallas
+    out_x = ce_x.record_streams(codes, thrs)
+    out_p = ce_p.record_streams(codes, thrs)
+    for ci, (x, p) in enumerate(zip(out_x, out_p)):
+        assert x == p, f"cluster {ci} pallas/XLA stream mismatch"
+
+
 def test_cluster_groups_share_windowsize(ref_fasta):
     clusters = eliminate_null_params(cluster_ref_api(ref_fasta, 6, cutoffs=[7, 12, 20, 25]))
     ce = ClusterScanEngine(clusters.profiles, k=6)

@@ -38,6 +38,14 @@ class TestReader:
             "AM939700|IGHV1S5*01|Vicugna": [(174, 178)],
         }
 
+    def test_open_reader_subject(self, ref_fasta):
+        """The reference dispatches exactMatch on a live FASTA.Reader
+        (ref ExactMatch.jl:100-121); open binary and text handles both work."""
+        with open(ref_fasta, "rb") as fh:
+            assert exact_match("AAATT", fh) == exact_match("AAATT", ref_fasta)
+        with open(ref_fasta, "r") as fh:
+            assert exact_match("AAATT", fh) == exact_match("AAATT", ref_fasta)
+
 
 def test_engine_exact_match_matches_host(test_genome):
     """The spectrum-anagram engine path must find exactly the true matches."""
