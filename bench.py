@@ -30,9 +30,18 @@ O(genome)) - hit COUNTS are reported so the replay work is visible.
 A persistent compilation cache (.jax_cache) makes warmup fast after the
 first-ever run on a machine; the first run pays one-time remote compiles.
 
+Further extras:
+
+  * ``genome3g_*`` - a ~3.2 Gbp device-resident gene-planted scan (the
+    reference's human-genome row: ~80 s, BASELINE.md) - exercises span
+    bucketing and HBM bounding at real scale;
+  * ``strobe_*``   - the strobemer production span engine over the dense
+    genome (extraction + scan + replay).
+
 Env knobs: BENCH_MBP (random-genome size, default 512), BENCH_DENSE_MBP
 (hit-dense genome size, default 64), BENCH_CHUNK (windows per span),
-BENCH_SKIP_EXTRAS=1 (headline only).
+BENCH_SKIP_EXTRAS=1 (headline only), BENCH_SKIP_3G=1 / BENCH_3G_MBP
+(skip / size the 3.2 Gbp run), BENCH_SKIP_STROBE=1.
 """
 
 import json
@@ -67,12 +76,29 @@ def _device_random_genome(engine, n_bp: int, seed: int, max_ws: int):
     # uniform 2-bit codes, deterministic per seed, and a tiny fully-fused
     # XLA graph (jax.random.randint's threefry graph took ~10 min to
     # compile through the remote-compile relay at 512 Mbp)
-    @jax.jit
-    def gen(seed_arr):
-        x = jnp.arange(total, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9) + seed_arr[0]
+    def hash_codes(pos, seed_arr):
+        x = pos * jnp.uint32(0x9E3779B9) + seed_arr[0]
         x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
         x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
         return ((x >> 7) & 3).astype(jnp.int8)
+
+    chunk = 1 << 26  # bound uint32 intermediates to ~270 MB at multi-Gbp sizes
+    if total <= chunk:
+
+        @jax.jit
+        def gen(seed_arr):
+            return hash_codes(jnp.arange(total, dtype=jnp.uint32), seed_arr)
+
+    else:
+        assert total % chunk == 0  # multi-piece totals are 64 MiB multiples
+
+        @jax.jit
+        def gen(seed_arr):
+            def one(i):
+                pos = (i * chunk + jnp.arange(chunk, dtype=jnp.uint32)).astype(jnp.uint32)
+                return hash_codes(pos, seed_arr)
+
+            return jax.lax.map(one, jnp.arange(total // chunk, dtype=jnp.uint32)).reshape(-1)
 
     dev = gen(jnp.asarray([seed], dtype=jnp.uint32))
     return PreparedCodes(dev, n_spans)
@@ -244,6 +270,91 @@ def main() -> None:
             f"{cmbps/cluster_baseline:.1f}x the {cluster_baseline:.1f} Mbp/s reference); "
             f"{n_events} hit events"
         )
+        del cprep, dprep
+
+        # ---- strobemer scan: production span engine over a dense genome ----
+        # (extraction runs ON DEVICE - ops.strobemers.strobe_2_mer_codes_jnp -
+        # so the timed loop covers extraction + span scan + replay with the
+        # genome resident, same measurement model as the headline)
+        if os.environ.get("BENCH_SKIP_STROBE", "") != "1":
+            import jax
+            import jax.numpy as jnp
+
+            from kmergma_tpu.models.strobe_miner import StrobeSpanEngine, gen_strobe_ref_ws_cons
+            from kmergma_tpu.ops.scan import PreparedCodes
+            from kmergma_tpu.ops.strobemers import strobe_2_mer_codes_jnp
+
+            strobe_mbp = float(os.environ.get("BENCH_STROBE_MBP", "64"))
+            strobe_bp = int(strobe_mbp * 1e6)
+            sprof = gen_strobe_ref_ws_cons(ref_path)
+            w = sprof.windowsize - sprof.k
+            n_steps = strobe_bp - sprof.windowsize - 1
+            nw_s = n_steps + 1
+            sthr = 30.0
+
+            # base genome with planted genes (device-resident, as above)
+            e_tmp = StrobeSpanEngine(sprof, 0, **eng_kwargs)
+            bprep = _device_random_genome(e_tmp, strobe_bp, seed=3, max_ws=sprof.windowsize + 1)
+            bprep, _n = _plant_genes_device(bprep, refs, strobe_bp, spacing=500_000)
+            sc_total = bprep.dev.shape[0]  # extraction output padded like codes
+
+            @jax.jit
+            def extract(codes_dev):
+                sc = strobe_2_mer_codes_jnp(
+                    codes_dev, sprof.s, sprof.w_min, sprof.w_max, sprof.q
+                )
+                return jnp.pad(sc, (0, sc_total - sc.shape[0]))
+
+            sc0 = extract(bprep.dev)
+            xstar = int(np.asarray(sc0[w : w + 1])[0])
+            eng = StrobeSpanEngine(sprof, xstar, **eng_kwargs)
+            sshape = np.zeros(nw_s + eng.ws - 1, dtype=np.int32)
+
+            def run_strobe():
+                sc_dev = extract(bprep.dev)
+                d0, stream, _ = eng.record_stream(
+                    sshape, sthr, codes_dev=PreparedCodes(sc_dev, bprep.n_spans)
+                )
+                return replay_single(stream, d0, sthr, sprof.k, sprof.windowsize, strobe_bp, 50)
+
+            run_strobe()  # warmup compiles
+            sbest = _time_best(run_strobe, repeats=2)
+            shits = run_strobe()
+            smbps = strobe_bp / sbest / 1e6
+            result["strobe_mbps"] = round(smbps, 2)
+            result["strobe_hits"] = len(shits)
+            notes.append(
+                f"# strobe: {strobe_mbp:.0f} Mbp (device extraction + span scan + replay) in "
+                f"{sbest:.2f}s ({smbps:.0f} Mbp/s); {len(shits)} hits"
+            )
+            del bprep
+
+        # ---- ~3.2 Gbp device-resident scan (the human-genome row) ----
+        if os.environ.get("BENCH_SKIP_3G", "") != "1":
+            g3_mbp = float(os.environ.get("BENCH_3G_MBP", "3200"))
+            g3_bp = int(g3_mbp * 1e6)
+            gprep = _device_random_genome(engine, g3_bp, seed=11, max_ws=profile.windowsize + 1)
+            gprep, gplanted = _plant_genes_device(gprep, refs, g3_bp, spacing=25_000_000)
+            _ = np.asarray(gprep.dev[:4])
+            gshape = np.zeros(g3_bp, dtype=np.int8)
+            engine.record_stream(gshape, thr, codes_dev=gprep)  # warmup
+
+            def run_3g():
+                nonlocal dist0, stream
+                dist0, stream, _ = engine.record_stream(gshape, thr, codes_dev=gprep)
+
+            gbest = _time_best(run_3g, repeats=2)
+            ghits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, g3_bp, 50)
+            gmbps = g3_bp / gbest / 1e6
+            result["genome3g_s"] = round(gbest, 2)
+            result["genome3g_mbps"] = round(gmbps, 2)
+            result["genome3g_vs_ref_80s"] = round(80.0 / gbest, 2)
+            notes.append(
+                f"# 3.2 Gbp: {g3_mbp:.0f} Mbp with {gplanted} planted genes in {gbest:.2f}s "
+                f"({gmbps:.0f} Mbp/s, {80.0/gbest:.0f}x the reference's ~80 s); "
+                f"{len(stream)} candidates -> {len(ghits)} hits"
+            )
+            del gprep
 
     print(json.dumps(result))
     for n in notes:

@@ -53,4 +53,12 @@ def __getattr__(name):
         from .utils.fasta import fasta_id_to_cumulative_len_dict
 
         return fasta_id_to_cumulative_len_dict
+    if name in ("substitution_distance_sweep", "strobemer_distance_sweep", "mutate_seq"):
+        from .ops import thresholds as _th
+
+        return getattr(_th, name)
+    if name == "mutation_plot":
+        from .utils.plots import mutation_plot
+
+        return mutation_plot
     raise AttributeError(name)

@@ -126,7 +126,17 @@ def mine_genome(
     k, ws = profile.k, profile.windowsize
     if engine is None:
         try:
-            engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
+            import jax
+
+            if 4**k > 2**18 and len(jax.devices()) > 1:
+                # big k: the 4^k table outgrows the one-hot MXU lookup
+                # (ops/scan.py profile_lookup caps at 2^18 bins) - shard the
+                # profile axis over the mesh instead of falling off-device
+                from ..parallel.tp_lookup import TPScanEngine
+
+                engine = TPScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
+            else:
+                engine = ScanEngine(profile.sum_kfv, k=k, ws=ws, r=profile.n_records)
         except OverflowError:
             # beyond the device int32 headroom: exact int64 host engine
             from ..ops.scan_host import HostScanEngine

@@ -50,6 +50,27 @@ import numpy as np
 _KCODES_XLA = os.environ.get("KMERGMA_KCODES_XLA", "") == "1"
 
 
+def _ensure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache unless the user already
+    configured one.  Remote-compile TPU environments pay tens of seconds to
+    minutes per fresh XLA compile; caching them across processes makes every
+    scan after the first start instantly.  Override the location with
+    KMERGMA_CACHE_DIR; disable with KMERGMA_CACHE_DIR=''."""
+    if jax.config.jax_compilation_cache_dir is not None:
+        return
+    path = os.environ.get(
+        "KMERGMA_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "kmergma_tpu", "jax")
+    )
+    if not path:
+        return
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except OSError:  # read-only home etc. - caching is best-effort
+        pass
+
+
 def rolling_kmer_codes_jnp(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Device version of ops.kmers.rolling_kmer_codes: K[i] = code of k-mer at i."""
     n = codes.shape[0]
@@ -87,6 +108,42 @@ def profile_lookup(kcodes: jnp.ndarray, s_profile: jnp.ndarray) -> jnp.ndarray:
     )
     sel = (lo[:, None] == ar[None, :]).astype(jnp.float32)
     return jnp.sum(rows * sel, axis=1).astype(jnp.int32)
+
+
+def profile_lookup_multi(kcodes: jnp.ndarray, s_stack: jnp.ndarray) -> jnp.ndarray:
+    """g[ci, i] = S_ci[K[i]] for a STACK of m profiles in ONE MXU pass.
+
+    Cluster mode's m per-cluster lookups collapse into a single matmul: the
+    one-hot row matrix built from the K codes (shared by every cluster) is
+    multiplied against the horizontally concatenated (2^k, m * 2^k) table
+    stack, and one shared one-hot column select finishes all m lookups -
+    m x less HBM traffic over the genome-length one-hot rows than calling
+    profile_lookup per cluster (ref OmnGenomeMiner.jl:89-158, the m x scan
+    cost this engine beats).  Exactness: same 0/1 * S f32 argument as
+    profile_lookup (|S| < 2^24 guaranteed by check_int32_headroom).
+
+    Returns int32[m, len(kcodes)].
+    """
+    m, nbins = s_stack.shape
+    if jax.default_backend() != "tpu":
+        return jax.vmap(lambda s: jnp.take(s, kcodes))(s_stack)
+    half = 1 << (nbins.bit_length() // 2)
+    if half * half != nbins or half > 512:
+        return jax.vmap(lambda s: jnp.take(s, kcodes))(s_stack)
+    hi = (kcodes // half).astype(jnp.int32)
+    lo = (kcodes % half).astype(jnp.int32)
+    # (m, half, half) -> (half, m*half): row v = [T_0[v, :], ..., T_m-1[v, :]]
+    tables = jnp.transpose(
+        s_stack.reshape(m, half, half).astype(jnp.float32), (1, 0, 2)
+    ).reshape(half, m * half)
+    ar = jnp.arange(half, dtype=jnp.int32)
+    oh = (hi[:, None] == ar[None, :]).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        oh, tables, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )  # (n, m*half)
+    sel = (lo[:, None] == ar[None, :]).astype(jnp.float32)
+    g = jnp.sum(rows.reshape(-1, m, half) * sel[:, None, :], axis=2)  # (n, m)
+    return g.T.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r"))
@@ -230,7 +287,7 @@ def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None
     (R ~ 10^2) sit far below int32; huge R would need the float64 CPU path.
     """
     w = ws - k + 1
-    s_max = int(np.max(s_profile)) if s_profile.size else 0
+    s_max = int(np.max(np.abs(s_profile))) if s_profile.size else 0
     bound = r * r * w * w + 2 * r * w * s_max + int(np.dot(s_profile, s_profile))
     if bound >= 2**31:
         raise OverflowError(
@@ -281,7 +338,7 @@ def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, sp
     Latency-shaped for remote TPUs: one device call and one small fetch per
     record, with zero per-span host scalars (span starts are computed on
     device from the loop index).  Distances are NOT kept - the few active
-    regions are recomputed on demand (_scan_region_d), trading negligible
+    regions are recomputed on demand (_scan_regions_dense), trading negligible
     recompute for not holding or shipping O(genome) distance arrays.
 
     With ``depth`` set, the pass computes certified lower bounds L <= D at
@@ -300,99 +357,92 @@ def _scan_record_bitmaps(codes_dev, n_valid, s_profile, thr_int, *, k, ws, r, sp
     return bitmaps  # (n_spans, span // block)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "use_pallas"))
-def _scan_region_d(codes_dev, start, s_profile, *, k, ws, r, rspan, use_pallas):
-    """Recompute the scaled distances of one small region (hit fetch-back)."""
-    codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
-    return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
+def _scan_rows_d(rows, s_profile, k: int, ws: int, r: int, use_pallas: bool):
+    """Exact scaled distances for a BATCH of region rows in one fused pass.
+
+    rows: int8[n, rspan + ws - 1] codes (one active region per row); returns
+    int32[n, rspan] with row i's d[p] = D[starts[i] + p] - bit-identical to
+    scan_window_distances on each row (tests/test_scan.py pins this).
+
+    This is the hit-dense hot path: all active regions of a record are
+    recomputed exactly in ONE batched device pass (batched K-code build,
+    one profile lookup over the flattened batch, the Pallas match-count
+    kernel with regions as tile rows, batched cumsum) instead of a
+    sequential ``lax.map`` over per-region scans - the per-region dispatch
+    latency and the O(rspan) tail work vanish into the batch.
+    """
+    n, total = rows.shape
+    w = ws - k + 1
+    rspan = total - ws + 1
+    m = total - k + 1  # K codes per row
+    kc = rows[:, 0:m].astype(jnp.int32) << (2 * (k - 1))
+    for t in range(1, k):
+        kc = kc + (rows[:, t : t + m].astype(jnp.int32) << (2 * (k - 1 - t)))
+    g = profile_lookup(kc.reshape(-1), s_profile).reshape(n, m)
+
+    # First-window distance per row, scatter-free and SHALLOW-graph (a deep
+    # fori_loop here would recompile for ~15 min per new region shape through
+    # the remote-compile relay, and a per-row segment_sum lowers to scatter -
+    # same story):
+    #   D0 = r^2 ||c0||^2 - 2 r (c0 . S) + ||S||^2
+    # with ||c0||^2 = the full w x w equality-Gram sum of the window's
+    # K codes (regions are rare, so the (n, w, w) compare is tiny) and
+    # c0 . S = sum of g over the window.
+    k0 = kc[:, :w]
+    gram = (k0[:, :, None] == k0[:, None, :]).astype(jnp.int32)
+    c0_sq = jnp.sum(gram, axis=(1, 2))
+    s2 = jnp.sum(s_profile * s_profile)
+    d0 = jnp.int32(r * r) * c0_sq - jnp.int32(2 * r) * jnp.sum(g[:, :w], axis=1) + s2
+    if rspan == 1:
+        return d0[:, None]
+
+    nt = rspan - 1
+    kl = kc[:, :nt]
+    kr = kc[:, w : w + nt]
+    if use_pallas:
+        # each region row is one tile of the match-count kernel (kc has
+        # rspan + w - 1 columns; the kernel wants t + w = rspan + w, so pad
+        # one column - only the discarded last transition reads it)
+        from .scan_pallas import ROWS, match_counts
+
+        n_pad = -(-n // ROWS) * ROWS
+        tiles = jnp.pad(kc, ((0, n_pad - n), (0, rspan + w - m)))
+        ab = match_counts(tiles, w, rspan)[:n, :nt]
+    else:
+        def body(d, acc):
+            a, b = acc
+            a = a + (jax.lax.dynamic_slice_in_dim(kc, w - d, nt, axis=1) == kr)
+            b = b + (jax.lax.dynamic_slice_in_dim(kc, d - 1, nt, axis=1) == kl)
+            return a, b
+
+        zero = jnp.zeros_like(kl)
+        a, b = jax.lax.fori_loop(1, w + 1, body, (zero, zero))
+        ab = a - b
+
+    r2 = jnp.int32(2 * r * r)
+    delta = r2 * (kl != kr) + r2 * ab + (2 * r) * (g[:, :nt] - g[:, w : w + nt])
+    return jnp.concatenate([d0[:, None], d0[:, None] + jnp.cumsum(delta, axis=1)], axis=1)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
-def _scan_regions_d(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
-    """Exact distances for a batch of regions in ONE device call.
+def _scan_regions_dense(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Exact distances of all active regions: ONE device call, ONE fetch.
 
     ``starts`` is padded to the static ``n_regions`` bucket (pad entries
-    repeat start 0, deduped on host).  ``lax.map`` compiles the region body
-    once and runs it sequentially on device - no per-region host round trip.
-    """
-
-    def one(start):
-        codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
-        return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
-
-    return jax.lax.map(one, starts)
-
-
-@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "cap", "use_pallas"))
-def _scan_regions_compact(codes_dev, starts, n_valid, s_profile, thr_int, *, k, ws, r, rspan, n_regions, cap, use_pallas):
-    """Exact region scan with a COMPACT fetch: per region returns
-
-      d0      - the region's first-window distance (exact; region 0 carries
-                the record's dist0),
-      bitmask - rspan below-threshold flags packed 32/lane (int32[rspan/32]),
-      vals/idx - the ``cap`` smallest distances and their in-region indices
-                (jax.lax.top_k of -d), which contain ALL below-threshold
-                values whenever the region's below-count <= cap.
-
-    The minima replay needs exact values only for below-threshold windows;
-    a rising edge just needs its position (any stand-in value >= thr drives
-    the state machine identically, since after an edge reset the next
-    below-threshold window always replaces the running minimum).  So this
-    fetch is ~16x smaller than shipping full distance arrays; overflowing
-    regions (count > cap) are re-fetched in full by the caller.
-    """
-
-    def one(start):
-        codes = jax.lax.dynamic_slice(codes_dev, (start,), (rspan + ws - 1,))
-        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
-        valid = start + jnp.arange(rspan, dtype=jnp.int32) < n_valid[0]
-        below = (d < thr_int[0]) & valid
-        # bit-pack 32 flags per lane; distinct bits -> sum == bitwise OR
-        bitmask = jnp.sum(
-            below.reshape(rspan // 32, 32).astype(jnp.uint32)
-            << jnp.arange(32, dtype=jnp.uint32)[None, :],
-            axis=1,
-        )
-        big = jnp.int32(2**31 - 1)
-        vals, idx = jax.lax.top_k(-jnp.where(valid, d, big), cap)
-        return d[0], bitmask, -vals, idx
-
-    return jax.lax.map(one, starts)
-
-
-@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "cap", "use_pallas"))
-def _scan_region_rows_compact(rows, limits, s_profile, thr_int, *, k, ws, r, rspan, n_regions, cap, use_pallas):
-    """Compact region fetch over PRE-SLICED region rows (the sharded-engine
-    variant of _scan_regions_compact: when the record lives sharded across
-    devices, the rare active regions are shipped as explicit (n_regions,
-    rspan + ws - 1) rows instead of sliced from a whole-record device array).
-    ``limits`` is the per-row count of valid windows (nw - start, clamped)."""
-
-    def one(args):
-        codes, limit = args
-        d = _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
-        valid = jnp.arange(rspan, dtype=jnp.int32) < limit
-        below = (d < thr_int[0]) & valid
-        bitmask = jnp.sum(
-            below.reshape(rspan // 32, 32).astype(jnp.uint32)
-            << jnp.arange(32, dtype=jnp.uint32)[None, :],
-            axis=1,
-        )
-        big = jnp.int32(2**31 - 1)
-        vals, idx = jax.lax.top_k(-jnp.where(valid, d, big), cap)
-        return d[0], bitmask, -vals, idx
-
-    return jax.lax.map(one, (rows, limits))
+    repeat start 0, ignored on host).  Rows are sliced on device (a small
+    batched gather - regions are rare) and scanned as one batch."""
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(codes_dev, (s,), (rspan + ws - 1,))
+    )(starts)
+    return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
-def _scan_region_rows_d(rows, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
-    """Full-distance region fetch over pre-sliced rows (overflow fallback)."""
-
-    def one(codes):
-        return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
-
-    return jax.lax.map(one, rows)
+def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Dense region fetch over PRE-SLICED rows (the sharded-engine variant:
+    when the record lives sharded across devices, active regions are shipped
+    as explicit host-sliced rows - no device holds the whole record)."""
+    return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -464,7 +514,13 @@ class ScanEngine:
     #: manage their own transfers (sharded, host) opt out
     prefetch_h2d = True
 
+    #: 2-bit genome codes ship quarter-packed (4 bases/byte); engines whose
+    #: code alphabet exceeds 2 bits (the strobemer engine scans 2s-bit
+    #: strobe codes with k=1) ship int32 codes unpacked
+    pack_codes = True
+
     def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32, use_fused: bool | None = None):
+        _ensure_compile_cache()
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
@@ -479,9 +535,13 @@ class ScanEngine:
             chunk_windows = (1 << 25) if jax.default_backend() == "tpu" else (1 << 19)
         self.chunk = chunk_windows
         self.block = 512  # bitmap granularity (windows per activity block)
-        self.rspan = 1 << 16  # region-recompute granularity (hit fetch-back)
-        self.region_cap = 2048  # top_k capacity per region (see _scan_regions_compact)
+        # region-recompute granularity (hit fetch-back): regions tile RUNS of
+        # active blocks tightly, so small spans keep the exact O(W)/bp
+        # recompute proportional to the truly-active windows (r2 VERDICT:
+        # rspan = 2^16 bins recomputed ~70x more windows than were active)
+        self.rspan = 1 << 11
         self._thr_cache: tuple[float, object] | None = None
+        self._nv_cache: dict[int, object] = {}  # n_valid H2D arrays by value
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -501,6 +561,18 @@ class ScanEngine:
         # comparison (extra candidates are no-ops in the replay).
         return np.int32(min(np.floor(thr * self.scale) + 2, 2**31 - 1))
 
+    def _nv(self, nw: int):
+        """Cached device array for a record's window count - repeated scans
+        of same-length records (and timed loops) skip the small H2D transfer,
+        which has high per-call latency on remote TPUs."""
+        dev = self._nv_cache.get(nw)
+        if dev is None:
+            if len(self._nv_cache) > 64:
+                self._nv_cache.clear()
+            dev = jnp.asarray(np.asarray([nw], dtype=np.int32))
+            self._nv_cache[nw] = dev
+        return dev
+
     def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None) -> PreparedCodes:
         """One H2D transfer of a record, padded for regular-span slicing.
 
@@ -511,13 +583,23 @@ class ScanEngine:
         largest windowsize; span counts are independent of ws by padding
         ceil(n/span)+bucket spans.
         """
-        codes = np.asarray(codes, dtype=np.int8)
+        codes = np.asarray(codes, dtype=np.int8 if self.pack_codes else np.int32)
         n = codes.shape[0]
         n_spans = _span_bucket(max(1, -(-n // self.chunk)))
         # headroom for region-recompute slices near the record end: a region
         # may start just below nw and extend rspan windows (dynamic_slice
         # would otherwise clamp and silently misattribute windows)
         total = n_spans * self.chunk + self.rspan + (max_ws if max_ws is not None else self.ws) + 1
+        if self.use_fused:
+            # the fused kernel tiles nw up to ROWS x t windows and reads one
+            # tile + halo beyond (see _fused_bitmaps_handle)
+            from .scan_fused import ROWS as FROWS
+
+            t = 8192
+            w = self.ws - self.k + 1
+            hw = -(-(w + 1) // 128) * 128 + 128
+            n_tiles = -(-(-(-n // t)) // FROWS) * FROWS
+            total = max(total, n_tiles * t + t + hw)
         total = -(-total // 4) * 4
         # Multi-piece transfers: round the packed byte count to a whole
         # number of pieces - the relay pays a per-shape setup cost, so every
@@ -525,6 +607,19 @@ class ScanEngine:
         piece = 16 << 20
         if total > 4 * piece:
             total = -(-total // (4 * piece)) * (4 * piece)
+        if not self.pack_codes:
+            padded = np.zeros(total, dtype=np.int32)
+            padded[:n] = codes
+
+            def transfer_wide():
+                if padded.nbytes <= piece:
+                    return jax.device_put(padded)
+                step = piece // 4
+                return jnp.concatenate(
+                    [jax.device_put(padded[o : o + step]) for o in range(0, total, step)]
+                )
+
+            return PreparedCodes(_with_retry(transfer_wide), n_spans)
         from ..utils.native import pack_quarters_native
 
         packed = pack_quarters_native(codes, total)
@@ -572,7 +667,7 @@ class ScanEngine:
             # host codes, so no whole-record device array is ever held
             if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
                 self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
-            codes = np.asarray(codes, dtype=np.int8)
+            codes = np.asarray(codes, dtype=np.int8 if self.pack_codes else np.int32)
             bitmaps = _with_retry(lambda: self._segmented_bitmaps(codes, nw, thr_int))
             dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps)
             return dist0, stream, None
@@ -612,7 +707,7 @@ class ScanEngine:
             bitmaps = _with_retry(
                 lambda: np.asarray(
                     _scan_record_bitmaps(
-                        prep.dev, jnp.asarray(np.asarray([nw], dtype=np.int32)), self.s_dev, thr_dev,
+                        prep.dev, self._nv(nw), self.s_dev, thr_dev,
                         k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
                         n_spans=prep.n_spans, use_pallas=self.use_pallas,
                         depth=self.bound_depth,
@@ -680,9 +775,8 @@ class ScanEngine:
             if fused:
                 bm = self._fused_bitmaps_handle(prep, nv_seg, int(thr_int))
             else:
-                nv = jnp.asarray(np.asarray([nv_seg], dtype=np.int32))
                 bm = _scan_record_bitmaps(
-                    prep.dev, nv, self.s_dev, thr_dev,
+                    prep.dev, self._nv(nv_seg), self.s_dev, thr_dev,
                     k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
                     n_spans=prep.n_spans, use_pallas=self.use_pallas,
                     depth=self.bound_depth,
@@ -697,8 +791,8 @@ class ScanEngine:
     def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray):
         """Turn a record's activity bitmaps into the exact candidate stream.
 
-        Recomputes the few active regions exactly on device (compact
-        fetch-back) and assembles the sorted (window index >= 1, exact
+        Recomputes the few active regions exactly on device (one batched
+        call, one fetch) and assembles the sorted (window index >= 1, exact
         distance) stream plus the record's first-window distance.  Shared by
         the single-profile path, the one-pass cluster engine
         (ops/scan_cluster.py) and the sharded engines
@@ -714,15 +808,19 @@ class ScanEngine:
 
     def _assemble_plan(self, source, nw: int, thr: float, bitmaps: np.ndarray) -> dict:
         """Phase 1 of stream assembly: derive the active regions and
-        DISPATCH their compact exact fetch without blocking.
+        DISPATCH their exact batched recompute without blocking.
 
         Splitting dispatch from fetch lets callers with several independent
         assemblies (the cluster engine's m per-cluster streams) put every
         fetch in flight before the first blocking read - the round-trip
         latencies overlap instead of summing.
+
+        Regions TILE RUNS of active blocks (rspan windows per region,
+        adjacent within a run, disjoint always), so the exact O(W)/bp
+        recompute covers ~the active windows only - not whole power-of-two
+        bins around them.
         """
         thr_int = self._thr_int(thr)
-        thr_dev = jnp.asarray(np.asarray([thr_int], dtype=np.int32))
         block = self.block
 
         # active blocks, expanded one block right (covers every rising edge)
@@ -730,161 +828,93 @@ class ScanEngine:
         active[1:] |= bitmaps[:-1]
         active[0] = True  # window 0 (dist0)
 
-        # bin expanded blocks into fetch regions; each active region is
-        # re-scanned exactly on device with a COMPACT fetch-back
         rspan = min(self.chunk, self.rspan)
-        blocks_per_region = max(1, rspan // block)
-        regions = np.unique(np.nonzero(active)[0] // blocks_per_region)
-        starts = [int(rg) * rspan for rg in regions if int(rg) * rspan < nw]
+        starts: list[int] = []
+        cover_end = 0  # windows covered so far (exclusive)
+        for b in np.nonzero(active)[0]:
+            lo = max(int(b) * block, cover_end)
+            hi = min((int(b) + 1) * block, nw)
+            while lo < hi:
+                starts.append(lo)
+                cover_end = lo + rspan
+                lo = cover_end
         n_regions = _span_bucket(len(starts))
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
-        cap = min(self.region_cap, rspan)
 
         def dispatch():
-            return self._dispatch_regions_compact(
-                source, starts_pad, nw, thr_dev, rspan, n_regions, cap
-            )
+            return self._dispatch_regions_dense(source, starts_pad, nw, rspan, n_regions)
 
         try:
             handles = dispatch()
         except jax.errors.JaxRuntimeError:  # transport hiccup: retry at fetch
             handles = None
         return {
-            "handles": handles, "dispatch": dispatch, "source": source,
-            "nw": nw, "thr": thr, "thr_int": thr_int,
-            "starts": starts, "rspan": rspan, "cap": cap,
+            "handles": handles, "dispatch": dispatch,
+            "nw": nw, "thr_int": thr_int, "starts": starts, "rspan": rspan,
         }
 
     def _assemble_finish(self, plan: dict):
-        """Phase 2: fetch the compact region results and assemble the exact
-        candidate stream (re-dispatching once on a transport failure)."""
-        source, nw, thr = plan["source"], plan["nw"], plan["thr"]
-        thr_int, starts, rspan, cap = plan["thr_int"], plan["starts"], plan["rspan"], plan["cap"]
-        stream: list[tuple[int, float]] = []
+        """Phase 2: fetch the region distances (ONE transfer) and assemble
+        the exact candidate stream (re-dispatching once on a transport
+        failure).  Stream entries carry exact values for below-threshold
+        windows and for rising edges alike."""
+        nw, thr_int = plan["nw"], plan["thr_int"]
+        starts, rspan = plan["starts"], plan["rspan"]
         try:
             if plan["handles"] is None:
                 raise jax.errors.JaxRuntimeError("deferred dispatch failure")
-            d0s, masks, vals, idxs = jax.tree.map(np.asarray, plan["handles"])
+            d_all = np.asarray(plan["handles"])
         except jax.errors.JaxRuntimeError:
-            d0s, masks, vals, idxs = _with_retry(
-                lambda: jax.tree.map(np.asarray, plan["dispatch"]())
-            )
+            d_all = _with_retry(lambda: np.asarray(plan["dispatch"]()))
         if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
-        dist0 = float(d0s[0]) / self.scale
+        dist0 = float(d_all[0, 0]) / self.scale
 
-        # Per-region assembly: below entries carry their exact values; edge
-        # entries (run end + 1) carry ``thr`` as a stand-in (any value >= thr
-        # replays identically - see _scan_regions_compact).  Regions whose
-        # below-count overflows ``cap`` are re-fetched in full below.
-        bits_all = np.unpackbits(
-            masks.view(np.uint8), axis=1, bitorder="little"
-        ).astype(bool)  # (n_regions, rspan) below flags (device-masked to nw)
-        counts = bits_all[: len(starts)].sum(axis=1)
-        overflow: list[int] = []
         parts_idx: list[np.ndarray] = []
         parts_val: list[np.ndarray] = []
-        prev_end_below = False  # run continuing across a region boundary
+        prev_end_below = False  # run continuing across adjacent regions
+        prev_start = -(1 << 60)
         for i, start in enumerate(starts):
             limit = min(rspan, nw - start)
-            bits = bits_all[i]
-            if counts[i] > cap - 1:
-                overflow.append(i)
-                prev_end_below = bits[limit - 1]
-                continue
-            sel = (vals[i] < thr_int) & (idxs[i] < limit)
-            below_idx = idxs[i][sel]
-            below_val = vals[i][sel].astype(np.float64) / self.scale
+            d = d_all[i, :limit]
+            below = d < thr_int
             prev = np.empty(limit, dtype=bool)
-            prev[0] = prev_end_below and (i > 0 and starts[i - 1] + rspan == start)
-            prev[1:] = bits[: limit - 1]
-            edge_idx = np.nonzero(~bits[:limit] & prev)[0]
-            idx_cat = np.concatenate([below_idx, edge_idx]) + start
-            val_cat = np.concatenate(
-                [below_val, np.full(edge_idx.shape[0], float(thr))]
-            )
-            order = np.argsort(idx_cat, kind="stable")
-            parts_idx.append(idx_cat[order])
-            parts_val.append(val_cat[order])
-            prev_end_below = bits[limit - 1]
-
-        if overflow:  # rare: very hit-dense regions - fetch full values
-            n_over = _span_bucket(len(overflow))
-            ostarts = np.zeros(n_over, dtype=np.int32)
-            ostarts[: len(overflow)] = [starts[i] for i in overflow]
-            ds = self._fetch_regions_full(source, ostarts, rspan, n_over)
-            for i, d in zip(overflow, ds):
-                start = starts[i]
-                limit = min(rspan, nw - start)
-                below = d[:limit] < thr_int
-                prev = np.empty(limit, dtype=bool)
-                prev[0] = bool(
-                    bits_all[i - 1][min(rspan, nw - starts[i - 1]) - 1]
-                ) if i > 0 and starts[i - 1] + rspan == start else False
-                prev[1:] = below[:-1]
-                keep = np.nonzero(below | prev)[0]
-                parts_idx.append(keep + start)
-                parts_val.append(d[keep].astype(np.float64) / self.scale)
+            prev[0] = prev_end_below and (prev_start + rspan == start)
+            prev[1:] = below[:-1]
+            keep = np.nonzero(below | prev)[0]
+            parts_idx.append(keep + start)
+            parts_val.append(d[keep].astype(np.float64) / self.scale)
+            prev_end_below = bool(below[limit - 1])
+            prev_start = start
 
         gidx = np.concatenate(parts_idx) if parts_idx else np.empty(0, np.int64)
         gvals = np.concatenate(parts_val) if parts_val else np.empty(0)
-        if overflow:  # overflow parts were appended out of order
-            order = np.argsort(gidx, kind="stable")
-            gidx, gvals = gidx[order], gvals[order]
-        keep = gidx >= 1
-        stream.extend(zip(gidx[keep].tolist(), gvals[keep].tolist()))
-
-        return dist0, stream
+        keep = gidx >= 1  # regions are sorted and disjoint: stream is sorted
+        return dist0, list(zip(gidx[keep].tolist(), gvals[keep].tolist()))
 
     def _region_rows(self, codes_np: np.ndarray, starts, rspan: int) -> np.ndarray:
         """Slice (and zero-pad) explicit region rows from host codes."""
-        rows = np.zeros((len(starts), rspan + self.ws - 1), dtype=np.int8)
+        rows = np.zeros((len(starts), rspan + self.ws - 1), dtype=codes_np.dtype)
         for i, s in enumerate(starts):
             seg = codes_np[int(s) : int(s) + rspan + self.ws - 1]
             rows[i, : seg.shape[0]] = seg
         return rows
 
-    def _dispatch_regions_compact(self, source, starts_pad, nw, thr_dev, rspan, n_regions, cap):
-        """Dispatch the compact exact region fetch; returns device handles
-        (the caller materialises them, possibly after other dispatches)."""
+    def _dispatch_regions_dense(self, source, starts_pad, nw, rspan, n_regions):
+        """Dispatch the batched exact region recompute; returns the device
+        handle (the caller materialises it, possibly after other dispatches)."""
         if isinstance(source, PreparedCodes):
-            nv = jnp.asarray(np.asarray([nw], dtype=np.int32))
-            return _scan_regions_compact(
-                source.dev, jnp.asarray(starts_pad), nv, self.s_dev, thr_dev,
+            return _scan_regions_dense(
+                source.dev, jnp.asarray(starts_pad), self.s_dev,
                 k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
+                n_regions=n_regions, use_pallas=self.use_pallas,
             )
         rows = self._region_rows(source, starts_pad, rspan)
-        limits = np.minimum(
-            rspan, np.maximum(0, nw - starts_pad.astype(np.int64))
-        ).astype(np.int32)
-        return _scan_region_rows_compact(
-            jnp.asarray(rows), jnp.asarray(limits), self.s_dev, thr_dev,
+        return _scan_region_rows_dense(
+            jnp.asarray(rows), self.s_dev,
             k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-            n_regions=n_regions, cap=cap, use_pallas=self.use_pallas,
-        )
-
-    def _fetch_regions_full(self, source, ostarts, rspan, n_over):
-        if isinstance(source, PreparedCodes):
-            return _with_retry(
-                lambda: np.asarray(
-                    _scan_regions_d(
-                        source.dev, jnp.asarray(ostarts), self.s_dev,
-                        k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                        n_regions=n_over, use_pallas=self.use_pallas,
-                    )
-                )
-            )
-        rows = self._region_rows(source, ostarts, rspan)
-        return _with_retry(
-            lambda: np.asarray(
-                _scan_region_rows_d(
-                    jnp.asarray(rows), self.s_dev,
-                    k=self.k, ws=self.ws, r=self.r, rspan=rspan,
-                    n_regions=n_over, use_pallas=self.use_pallas,
-                )
-            )
+            n_regions=n_regions, use_pallas=self.use_pallas,
         )
 
     def _stream_from_full(self, d: np.ndarray, offset: int, prev_below: bool, thr_int: int, stream: list) -> None:

@@ -34,7 +34,7 @@ from .scan import (
     ScanEngine,
     _pair_ab_xla,
     _with_retry,
-    profile_lookup,
+    profile_lookup_multi,
     rolling_kmer_codes_jnp,
 )
 
@@ -59,8 +59,11 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     ``codes_span`` holds span + max_ws - 1 codes; ``pos`` the span's global
     window indices (for validity masking); groups/s_stack/thr_ints as in
     _cluster_record_bitmaps.  K codes and the pair-count hot loop (ab, p0)
-    are computed once per windowsize group; only the cheap profile tail
-    runs per cluster.  Shared by the single-device and sharded passes.
+    are computed once per windowsize group, ALL m profile lookups run as one
+    concatenated-table MXU matmul (profile_lookup_multi), and the per-
+    cluster delta/cumsum/bitmap tails are batched per group - the only
+    per-group work left is the pair kernel.  Shared by the single-device
+    and sharded passes.
     """
     span = pos.shape[0]
     m = s_stack.shape[0]
@@ -79,6 +82,9 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
         )
     else:
         kcodes_all = rolling_kmer_codes_jnp(codes_span, k)
+    g_all = profile_lookup_multi(
+        jax.lax.slice(kcodes_all, (0,), (span + max_w - 1,)), s_stack
+    )  # (m, span + max_w - 1)
     bitmaps: list = [None] * m
     for gi, (ws, depth, idxs, rs) in enumerate(groups):
         w = ws - k + 1
@@ -88,17 +94,24 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
         else:
             ab = _pair_ab_xla(kc, w, nt, depth)
         p0 = _shared_p0(kc, w, depth)
-        for ci, r in zip(idxs, rs):
-            g = profile_lookup(kc, s_stack[ci])
-            l0 = (
-                jnp.int32(r * r) * (jnp.int32(w) + 2 * p0)
-                - jnp.int32(2 * r) * jnp.sum(g[:w])
-                + s2[ci]
-            )
-            delta = jnp.int32(2 * r * r) * ab + (2 * r) * (g[:nt] - g[w : w + nt])
-            bounds = jnp.concatenate([l0[None], l0 + jnp.cumsum(delta)])
-            below = (bounds < thr_ints[ci]) & (pos < n_valids[ci])
-            bitmaps[ci] = below.reshape(span // block, block).any(axis=1)
+        sel = np.asarray(idxs)
+        g_g = g_all[sel]  # (mg, ...) static row gather
+        r_vec = jnp.asarray(np.asarray(rs, dtype=np.int32))[:, None]  # (mg, 1)
+        l0 = (
+            r_vec[:, 0] * r_vec[:, 0] * (jnp.int32(w) + 2 * p0)
+            - 2 * r_vec[:, 0] * jnp.sum(g_g[:, :w], axis=1)
+            + s2[sel]
+        )
+        delta = (2 * r_vec * r_vec) * ab[None, :] + (2 * r_vec) * (
+            g_g[:, :nt] - g_g[:, w : w + nt]
+        )
+        bounds = jnp.concatenate(
+            [l0[:, None], l0[:, None] + jnp.cumsum(delta, axis=1)], axis=1
+        )
+        below = (bounds < thr_ints[sel][:, None]) & (pos[None, :] < n_valids[sel][:, None])
+        bm_g = below.reshape(len(idxs), span // block, block).any(axis=2)
+        for j, ci in enumerate(idxs):
+            bitmaps[ci] = bm_g[j]
     return jnp.stack(bitmaps)
 
 

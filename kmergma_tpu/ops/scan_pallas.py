@@ -326,7 +326,96 @@ def codes_pair_ab_kcodes(
     return ab.reshape(-1)[:nt], kc.reshape(-1)[:nkc]
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret"))
+def _codes_pair_roll_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int, w: int, t: int, depth: int, rows: int):
+    """Roll-carried variant of _codes_pair_kernel: the depth loop is a
+    ``fori_loop`` whose shifted compare streams advance by a STATIC -1 roll
+    per iteration, so live VMEM stays O(1) in depth (the static unroll keeps
+    one eq temp alive per depth, capping t at 8192; here t can be 32768+ and
+    the fixed per-grid-step cost amortises over 4x more windows).
+
+    The entering-term accumulator uses the shifted-prefix identity: with
+    B_j = roll(B_{j-1}, -1) + eq_j one gets B_D[p] = sum_d eq_d[p + D - d],
+    hence a[p] = sum_d eq_d[p + w - d] = B_D[p + w - D] - a single static
+    roll by (w - depth) at the end.  Wrap-in garbage of the rolled compare
+    stream stays in lanes >= L - depth, strictly right of every lane the
+    outputs read (needs L >= t + w).  Bit-identical to _codes_pair_kernel.
+    """
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+    lc = codes.shape[1]
+    L = lc - k + 1  # K-code lanes; L = t + hw - k + 1 >= t + w
+    kc = codes[:, :L] << (2 * (k - 1))
+    for j in range(1, k):
+        kc = kc + (codes[:, j : j + L] << (2 * (k - 1 - j)))
+    kc_ref[:, :] = kc[:, :t]
+
+    def body(d, carry):
+        kr, b_acc, big_b = carry
+        kr = jnp.roll(kr, -1, axis=1)  # kr[q] = kc[q + d] (tail wraps -> garbage)
+        eq = (kc == kr).astype(jnp.int32)
+        b_acc = b_acc + eq[:, :t]
+        big_b = jnp.roll(big_b, -1, axis=1) + eq
+        return kr, b_acc, big_b
+
+    zero_t = jnp.zeros((rows, t), dtype=jnp.int32)
+    zero_l = jnp.zeros((rows, L), dtype=jnp.int32)
+    _, b_acc, big_b = jax.lax.fori_loop(1, depth + 1, body, (kc, zero_t, zero_l))
+    a = jnp.roll(big_b, -(w - depth), axis=1)[:, :t]
+    ab_ref[:, :] = a - b_acc
+
+
+@partial(jax.jit, static_argnames=("k", "w", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
+def codes_pair_roll(
+    codes_pad: jnp.ndarray,
+    k: int,
+    w: int,
+    nt: int,
+    nkc: int,
+    depth: int,
+    tile_windows: int = 32768,
+    rows: int = 8,
+    interpret: bool | None = None,
+):
+    """codes_pair_ab_kcodes contract backed by the roll-carried kernel
+    (same bit-identical outputs; O(1)-in-depth VMEM enables 4x tiles)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    assert rows % 8 == 0, f"rows must be a multiple of 8 (int32 sublanes), got {rows}"
+    t = tile_windows
+    need = max(nt, nkc)
+    n_tiles = -(-need // t)
+    n_tiles = -(-n_tiles // rows) * rows
+    # halo must give L = t + hw - k + 1 >= t + w  (roll-garbage containment)
+    hw = -(-(w + k - 1) // 128) * 128
+    total = n_tiles * t + hw
+    if codes_pad.shape[0] < total:
+        codes_pad = jnp.pad(codes_pad, (0, total - codes_pad.shape[0]))
+    main = codes_pad[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    ab, kc = pl.pallas_call(
+        partial(_codes_pair_roll_kernel, k=k, w=w, t=t, depth=depth, rows=rows),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        ),
+        grid=(n_tiles // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(main, halo)
+    return ab.reshape(-1)[:nt], kc.reshape(-1)[:nkc]
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "tile_windows", "interpret", "use_roll"))
 def scan_window_lower_bounds_codes(
     codes: jnp.ndarray,
     s_profile: jnp.ndarray,
@@ -336,20 +425,23 @@ def scan_window_lower_bounds_codes(
     depth: int,
     tile_windows: int = 8192,
     interpret: bool | None = None,
+    use_roll: bool = False,
 ) -> jnp.ndarray:
     """Certified lower bounds with the codes-in kernel (production TPU path).
 
     Bit-identical to ops.scan.scan_window_lower_bounds; vs the kcodes-in
     pipeline (scan_window_lower_bounds_pallas) it removes the XLA K-code
     build and the overlapped-halo int32 reads - the kernel emits both ab and
-    the K codes the profile lookup needs.
+    the K codes the profile lookup needs.  ``use_roll`` selects the
+    roll-carried kernel (codes_pair_roll; O(1)-in-depth VMEM, bigger tiles).
     """
     n = codes.shape[0]
     w = ws - k + 1
     nw = n - ws + 1
     nt = max(nw - 1, 1)
     nkc = nw + w - 1  # K lanes the lookup needs: g[0 .. nw-1+w)
-    ab, kcodes = codes_pair_ab_kcodes(
+    pair_fn = codes_pair_roll if use_roll else codes_pair_ab_kcodes
+    ab, kcodes = pair_fn(
         codes, k, w, nt, nkc, depth, tile_windows, interpret=interpret
     )
     g = profile_lookup(kcodes, s_profile)

@@ -62,6 +62,35 @@ def strobe_2_mer_codes(
     return (first << (2 * s)) | second
 
 
+def strobe_2_mer_codes_jnp(codes, s: int = 2, w_min: int = 3, w_max: int = 5, q: int = 5):
+    """Device-side strobe_2_mer_codes (same overflow-selection semantics).
+
+    ``codes`` is an int8/int32 device array; returns int32[m] with
+    m = len(codes) - (w_max + s - 1) + 1.  Gather-free: the winning second
+    strobe is materialised with w_max - w_min + 1 selects.  Bit-identical
+    to the NumPy extraction (tests/test_paired_strobe_rss.py).
+    """
+    import jax.numpy as jnp
+
+    from .scan import rolling_kmer_codes_jnp
+
+    k = w_max + s - 1
+    m = codes.shape[0] - k + 1
+    u = rolling_kmer_codes_jnp(codes, s)
+    first = u[:m]
+    cands = [u[d : d + m] for d in range(w_min - 1, w_max)]
+    scores = [(first + c) % q for c in cands]
+    # reference semantics (overflow-initialised min): the LAST zero-score
+    # candidate wins, else the w_min candidate (see module docstring)
+    sel = jnp.zeros(m, dtype=jnp.int32)
+    for d, sc in enumerate(scores):
+        sel = jnp.where(sc == 0, d, sel)  # last zero wins; default index 0
+    second = cands[0]
+    for d in range(1, len(cands)):
+        second = jnp.where(sel == d, cands[d], second)
+    return (first << (2 * s)) | second
+
+
 def get_strobe_2_mer(
     seq, s: int = 2, w_min: int = 3, w_max: int = 5, q: int = 5, with_gap: bool = True
 ) -> str:

@@ -52,6 +52,35 @@ def main() -> None:
     assert stream_a == stream_b
     print(f"proc {pid}: multihost sharded stream bit-identical OK", flush=True)
 
+    # ---- scaling estimator (SURVEY.md 5.8, BASELINE >=80% @ N>=2 hosts) ----
+    # The only cross-host traffic in a sharded scan is the bitmap all_gather
+    # (active regions are host-fetched per process).  Measure the payload
+    # and the per-process pass time so the DCN cost model in docs/design.md
+    # is anchored to observed numbers.
+    import time
+
+    span, block = sharded.chunk, sharded.block
+    nw = n - ws + 1
+    n_spans = -(-nw // span)
+    from kmergma_tpu.ops.scan import _span_bucket
+
+    spd = _span_bucket(max(1, -(-n_spans // mesh.shape["data"])))
+    blocks_total = mesh.shape["data"] * spd * (span // block)
+    gather_bytes = blocks_total  # bool per block crosses DCN once per device
+    # per-record payload model: G/block bools per record, independent of N
+    assert blocks_total * block >= nw
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sharded.record_stream(codes, thr)
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"proc {pid}: estimator pass_s={best:.4f} allgather_bytes={gather_bytes} "
+        f"bytes_per_bp={gather_bytes/n:.5f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -56,14 +56,14 @@ def test_record_stream_retries_failed_region_fetch(monkeypatch):
     monkeypatch.setattr(
         scan_mod, "_with_retry", lambda fn, attempts=2, delay_s=5.0: _with_retry(fn, attempts, 0.0)
     )
-    flaky_dev = _Flaky(scan_mod._scan_regions_compact, fails=1)
-    monkeypatch.setattr(scan_mod, "_scan_regions_compact", flaky_dev)
+    flaky_dev = _Flaky(scan_mod._scan_regions_dense, fails=1)
+    monkeypatch.setattr(scan_mod, "_scan_regions_dense", flaky_dev)
     got = eng.record_stream(codes, thr, codes_dev=eng.prepare_codes(codes))
     assert flaky_dev.calls >= 2  # failed once, retried
     assert got[0] == expected[0] and got[1] == expected[1]
 
-    flaky_rows = _Flaky(scan_mod._scan_region_rows_compact, fails=1)
-    monkeypatch.setattr(scan_mod, "_scan_region_rows_compact", flaky_rows)
+    flaky_rows = _Flaky(scan_mod._scan_region_rows_dense, fails=1)
+    monkeypatch.setattr(scan_mod, "_scan_region_rows_dense", flaky_rows)
     got = eng.record_stream(codes, thr)  # nw > 2*chunk -> segmented path
     assert flaky_rows.calls >= 2
     assert got[0] == expected[0] and got[1] == expected[1]

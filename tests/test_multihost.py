@@ -48,3 +48,14 @@ def test_two_process_sharded_scan():
         assert p.returncode == 0, f"worker failed:\n{out}"
     assert "bit-identical OK" in outs[0]
     assert "bit-identical OK" in outs[1]
+    # scaling estimator numbers must be reported by both workers (the DCN
+    # payload anchor for the docs/design.md cost model)
+    import re
+
+    for out in outs:
+        m = re.search(r"estimator pass_s=([\d.]+) allgather_bytes=(\d+) bytes_per_bp=([\d.]+)", out)
+        assert m, f"estimator line missing:\n{out}"
+        # the bitmap payload is ~1/block bytes per bp (block=512): tiny vs
+        # any plausible DCN bandwidth, which is what makes >=80% scaling
+        # efficiency expected - see docs/design.md
+        assert float(m.group(3)) < 0.02

@@ -88,3 +88,18 @@ class TestStrobeMiner:
         assert len(hits) == len(loci)
         # the scan must at least rediscover the strongest V-gene locus
         assert any(6700 <= l <= 7200 for l in loci)
+
+
+def test_strobe_codes_jnp_matches_numpy():
+    """Device strobemer extraction == the NumPy extraction bit-for-bit
+    (incl. the reference's overflow-selection semantics)."""
+    import jax.numpy as jnp
+
+    from kmergma_tpu.ops.strobemers import strobe_2_mer_codes, strobe_2_mer_codes_jnp
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 5000, dtype=np.int8)
+    for (s, w_min, w_max, q) in [(2, 3, 5, 5), (2, 2, 6, 7), (3, 4, 8, 11)]:
+        want = strobe_2_mer_codes(codes, s, w_min, w_max, q)
+        got = np.asarray(strobe_2_mer_codes_jnp(jnp.asarray(codes), s, w_min, w_max, q))
+        assert got.tolist() == want.tolist(), (s, w_min, w_max, q)

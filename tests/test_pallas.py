@@ -4,6 +4,7 @@ on CPU; the same kernel compiles via Mosaic on real TPU)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from kmergma_tpu.ops.scan import scan_window_distances, scan_window_distances_np
@@ -125,6 +126,47 @@ class TestLowerBounds:
             )
             assert np.asarray(kc).tolist() == kc_ref[:nkc].tolist()
             assert np.asarray(ab).tolist() == ab_ref.tolist()
+
+    def test_codes_pair_roll_matches_unrolled(self):
+        """The roll-carried (fori_loop) codes-in kernel is bit-identical to
+        the static-unroll kernel and the XLA parts (the O(1)-in-depth VMEM
+        variant that enables 4x tiles on TPU)."""
+        from kmergma_tpu.ops.scan import _pair_ab_xla, rolling_kmer_codes_jnp
+        from kmergma_tpu.ops.scan_pallas import codes_pair_roll
+
+        rng = np.random.default_rng(11)
+        n, k, w, depth = 2000, 5, 93, 16
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        kc_ref = np.asarray(rolling_kmer_codes_jnp(jnp.asarray(codes), k))
+        nt = n - w - 200
+        nkc = n - k + 1
+        ab_ref = np.asarray(_pair_ab_xla(jnp.asarray(kc_ref), w, nt, depth))
+        ab, kc = codes_pair_roll(
+            jnp.asarray(codes), k, w, nt, nkc, depth,
+            tile_windows=128, rows=8, interpret=True,
+        )
+        assert np.asarray(kc).tolist() == kc_ref[:nkc].tolist()
+        assert np.asarray(ab).tolist() == ab_ref.tolist()
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_scan_rows_d_matches_per_row_oracle(self, use_pallas):
+        """The batched region recompute (_scan_rows_d - the hit-dense hot
+        path) equals the brute-force oracle on every row, for both the XLA
+        and Pallas (interpret) paths."""
+        from kmergma_tpu.ops.scan import _scan_rows_d
+
+        rng = np.random.default_rng(21)
+        k, ws, r, rspan, n_rows = 5, 101, 9, 256, 5
+        s = rng.integers(0, 12, 4**k).astype(np.int32)
+        rows = rng.integers(0, 4, (n_rows, rspan + ws - 1), dtype=np.int8)
+        got = np.asarray(
+            jax.jit(_scan_rows_d, static_argnums=(2, 3, 4, 5))(
+                jnp.asarray(rows), jnp.asarray(s), k, ws, r, use_pallas
+            )
+        )
+        for i in range(n_rows):
+            want = scan_window_distances_np(rows[i], s, k, ws, r)
+            assert got[i].tolist() == want.tolist(), f"row {i}"
 
     @pytest.mark.parametrize("depth", [1, 16, None])
     def test_engine_bound_path_stream_exact(self, depth):

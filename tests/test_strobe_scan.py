@@ -57,3 +57,34 @@ def test_strobe_scan_float_matches_miner_recurrence():
     dist_exact = d_scaled[1:] / (2.0 * k * n * n)
     assert res.dists.shape[0] == dist_exact.shape[0]
     np.testing.assert_allclose(res.dists, dist_exact, rtol=0, atol=1e-6)
+
+
+def test_strobe_span_engine_hits_match_dense_replay():
+    """The production span engine's hits (fixed compiled shapes, pruned
+    bitmap + region machinery) equal replaying the dense sequential-oracle
+    distance array - hit-level bit-equality for the strobe path."""
+    from kmergma_tpu.models.state_machine import candidate_stream_from_dists, replay_single
+    from kmergma_tpu.models.strobe_miner import gen_strobe_ref_ws_cons, strobe_mine_genome
+    from kmergma_tpu.utils.fasta import read_fasta
+
+    profile = gen_strobe_ref_ws_cons("tests/data/Alp_V_ref.fasta")
+    thr = 30.0
+    res = strobe_mine_genome(
+        "tests/data/Alp_V_locus.fasta", profile, thr=thr, do_align=False,
+        get_hit_loci=True, chunk_windows=4096,  # force several spans
+    )
+
+    rec = next(read_fasta("tests/data/Alp_V_locus.fasta"))
+    d_scaled = strobe_scan_distances_np(
+        rec.codes, profile.sum_kfv, profile.s, profile.w_min, profile.w_max,
+        profile.q, profile.windowsize, profile.n_records,
+    )
+    scale = 2.0 * profile.k * profile.n_records**2
+    dists = d_scaled.astype(np.float64) / scale
+    raw = replay_single(
+        candidate_stream_from_dists(dists, thr), float(dists[0]), thr,
+        k=profile.k, ws=profile.windowsize, seq_len=len(rec), buff=50, cmi_offset=0,
+    )
+    assert len(res.hits) == len(raw) > 0
+    for hit, got in zip(raw, res.hits):
+        assert f"MatchPos = {hit.start}:{hit.stop}" in got.description
