@@ -156,13 +156,16 @@ class ShardedScanEngine(ScanEngine):
         spd = _span_bucket(max(1, -(-n_spans // n_dev)))
         rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.ws)
         rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
+        thr_int = self._thr_int(thr)
+        if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
+            self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         bitmaps = _with_retry(
             lambda: np.asarray(
                 _sharded_record_bitmaps(
                     rows_dev,
-                    jnp.asarray(np.asarray([nw], dtype=np.int32)),
+                    self._nv(nw),
                     self.s_dev[None],
-                    jnp.asarray(np.asarray([self._thr_int(thr)], dtype=np.int32)),
+                    self._thr_cache[1],
                     k=self.k, span=self.chunk, spd=spd, block=self.block,
                     use_pallas=self.use_pallas, groups=self._groups, mesh=self.mesh,
                 )

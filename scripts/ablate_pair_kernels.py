@@ -54,7 +54,7 @@ base, t_base = timeit(
     lambda: scan_window_lower_bounds_codes(codes, s, k, ws, r, 32, 8192),
     "unroll t= 8192 depth=32",
 )
-for t in (8192, 16384, 32768):
+for t in (32768,):
     out, _ = timeit(
         lambda t=t: scan_window_lower_bounds_codes(codes, s, k, ws, r, 32, t, use_roll=True),
         f"roll   t={t:6d} depth=32",
@@ -63,7 +63,7 @@ for t in (8192, 16384, 32768):
     print(f"  bit-identical: {eq}", flush=True)
     assert eq
 
-for depth in (8, 16):
+for depth in (16,):
     timeit(
         lambda d=depth: scan_window_lower_bounds_codes(codes, s, k, ws, r, d, 32768, use_roll=True),
         f"roll   t= 32768 depth={depth:2d}",
