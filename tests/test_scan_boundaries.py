@@ -100,3 +100,41 @@ def test_segment_boundary_straddling_hit(ref_fasta):
     hits = replay_single(stream_b, d0_b, 30.0, k, ws, n, buff=50)
     # the straddling plant must be found, with its minimum near the boundary
     assert hits and abs(hits[0].cmi - (seg - gene.shape[0] // 2)) < ws
+
+
+def test_below_runs_straddle_region_boundaries():
+    """Below-threshold runs crossing region boundaries (regions tile runs of
+    active blocks at rspan windows) must replay identically to the oracle -
+    including the run-continuation flag between ADJACENT regions and the
+    gap between separate runs."""
+    rng = np.random.default_rng(17)
+    k, ws, r = 5, 64, 4
+    n = 12000
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    # plant several wide near-profile stretches so runs span > rspan windows
+    from kmergma_tpu.ops.kmers import kmer_count
+
+    motif = rng.integers(0, 4, ws, dtype=np.int8)
+    s = (r * kmer_count(motif, k)).astype(np.int64)
+    for start in (2000, 2600, 7000):
+        codes[start : start + 400] = np.tile(motif, 7)[:400]
+
+    eng = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=2048)
+    eng.rspan = 128  # force many tiny regions; runs straddle several
+    eng.block = 64
+    d = scan_window_distances_np(codes, s, k, ws, r)
+    thr_scaled = float(np.percentile(d, 8))
+    thr = thr_scaled / eng.scale
+    d0_o, st_o = _oracle_stream(codes, s, k, ws, r, thr_scaled)
+    d0_e, st_e, _ = eng.record_stream(codes, thr)
+    assert d0_e == d0_o
+    # the engine stream is a SUPERSET (conservative device threshold) with
+    # exact values: every oracle below-threshold entry must appear verbatim
+    got = dict(st_e)
+    for j, v in st_o:
+        if v < thr:
+            assert got.get(j) == v, (j, v, got.get(j))
+    # and the minima replay is bit-identical (the actual contract)
+    h_o = replay_single(st_o, d0_o, thr, k, ws, n, 50)
+    h_e = replay_single(st_e, d0_e, thr, k, ws, n, 50)
+    assert h_e == h_o and len(h_e) > 0
