@@ -70,10 +70,23 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     nt = span - 1
     max_w = max(g[0] for g in groups) - k + 1
     kcodes_all = None
-    if use_pallas:
-        # ONE codes-in kernel call builds the K codes for every group and
-        # the pair deltas of the first group; remaining windowsize groups
-        # reuse the K codes through the kcodes-in pair kernel.
+    ab_multi = None
+    depths = {g[1] for g in groups}
+    if use_pallas and len(depths) == 1:
+        # ONE roll-kernel pass emits the K codes AND every windowsize
+        # group's pair deltas: the B_D accumulator is width-independent, so
+        # each extra group costs one static roll (codes_pair_roll_multi) -
+        # the cluster pass's pair cost no longer scales with G at all.
+        from .scan_pallas import codes_pair_roll_multi
+
+        ab_multi, kcodes_all = codes_pair_roll_multi(
+            codes_span, k, tuple(g[0] for g in groups), nt,
+            span + max_w - 1, next(iter(depths)),
+        )
+    elif use_pallas:
+        # mixed per-group depths (tiny windows clamp below bound_depth):
+        # group-0 pair deltas ride the codes-in kernel; the rest reuse its
+        # K codes through the kcodes-in pair kernel.
         from .scan_pallas import codes_pair_ab_kcodes, pair_ab_from_kcodes
 
         w0, depth0 = groups[0][0] - k + 1, groups[0][1]
@@ -89,7 +102,9 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     for gi, (ws, depth, idxs, rs) in enumerate(groups):
         w = ws - k + 1
         kc = jax.lax.slice(kcodes_all, (0,), (span + w - 1,))
-        if use_pallas:
+        if ab_multi is not None:
+            ab = ab_multi[gi]
+        elif use_pallas:
             ab = ab0 if gi == 0 else pair_ab_from_kcodes(kc, w, nt, depth)
         else:
             ab = _pair_ab_xla(kc, w, nt, depth)

@@ -365,6 +365,105 @@ def _codes_pair_roll_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int, w: in
     ab_ref[:, :] = a - b_acc
 
 
+def _codes_pair_roll_multi_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int, ws_tuple: tuple, t: int, depth: int, rows: int):
+    """Multi-windowsize variant of _codes_pair_roll_kernel: ONE depth loop
+    serves EVERY windowsize group.
+
+    The shifted-prefix accumulator B_D[p] = sum_d eq_d[p + D - d] and the
+    leaving-term accumulator b[p] = sum_d eq_d[p] are both independent of
+    the window width; group g's net pair delta is just
+
+        ab_g = roll(B_D, -(w_g - D))[:, :t] - b
+
+    - one static roll + subtract per group, so scanning G cluster
+    windowsizes costs ONE pair pass instead of G (the cluster engine's
+    remaining per-group kernel, ops/scan_cluster.py).
+
+    ab_ref: (rows, G * t) int32 - group g's deltas at columns [g*t, (g+1)*t).
+    """
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+    lc = codes.shape[1]
+    L = lc - k + 1  # needs L >= t + max(w)
+    kc = codes[:, :L] << (2 * (k - 1))
+    for j in range(1, k):
+        kc = kc + (codes[:, j : j + L] << (2 * (k - 1 - j)))
+    kc_ref[:, :] = kc[:, :t]
+
+    def body(d, carry):
+        kr, b_acc, big_b = carry
+        kr = jnp.roll(kr, -1, axis=1)
+        eq = (kc == kr).astype(jnp.int32)
+        b_acc = b_acc + eq[:, :t]
+        big_b = jnp.roll(big_b, -1, axis=1) + eq
+        return kr, b_acc, big_b
+
+    zero_t = jnp.zeros((rows, t), dtype=jnp.int32)
+    zero_l = jnp.zeros((rows, L), dtype=jnp.int32)
+    _, b_acc, big_b = jax.lax.fori_loop(1, depth + 1, body, (kc, zero_t, zero_l))
+    for g, ws in enumerate(ws_tuple):
+        w = ws - k + 1
+        a = jnp.roll(big_b, -(w - depth), axis=1)[:, :t]
+        ab_ref[:, g * t : (g + 1) * t] = a - b_acc
+
+
+@partial(jax.jit, static_argnames=("k", "ws_tuple", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
+def codes_pair_roll_multi(
+    codes_pad: jnp.ndarray,
+    k: int,
+    ws_tuple: tuple,
+    nt: int,
+    nkc: int,
+    depth: int,
+    tile_windows: int = 32768,
+    rows: int = 8,
+    interpret: bool | None = None,
+):
+    """Net pair deltas for EVERY windowsize group plus K codes, one kernel.
+
+    Returns (ab int32[G, nt], kcodes int32[nkc]) with ab[g] bit-identical
+    to _pair_ab_xla(K, ws_tuple[g] - k + 1, nt, depth)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    assert rows % 8 == 0, f"rows must be a multiple of 8 (int32 sublanes), got {rows}"
+    t = tile_windows
+    ngroups = len(ws_tuple)
+    max_w = max(ws_tuple) - k + 1
+    need = max(nt, nkc)
+    n_tiles = -(-need // t)
+    n_tiles = -(-n_tiles // rows) * rows
+    hw = -(-(max_w + k - 1) // 128) * 128
+    total = n_tiles * t + hw
+    if codes_pad.shape[0] < total:
+        codes_pad = jnp.pad(codes_pad, (0, total - codes_pad.shape[0]))
+    main = codes_pad[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    ab, kc = pl.pallas_call(
+        partial(_codes_pair_roll_multi_kernel, k=k, ws_tuple=ws_tuple, t=t, depth=depth, rows=rows),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, ngroups * t), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        ),
+        grid=(n_tiles // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, ngroups * t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(main, halo)
+    ab_groups = jnp.stack(
+        [ab[:, g * t : (g + 1) * t].reshape(-1)[:nt] for g in range(ngroups)]
+    )
+    return ab_groups, kc.reshape(-1)[:nkc]
+
+
 @partial(jax.jit, static_argnames=("k", "w", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
 def codes_pair_roll(
     codes_pad: jnp.ndarray,

@@ -148,6 +148,29 @@ class TestLowerBounds:
         assert np.asarray(kc).tolist() == kc_ref[:nkc].tolist()
         assert np.asarray(ab).tolist() == ab_ref.tolist()
 
+    def test_codes_pair_roll_multi_matches_xla_per_group(self):
+        """One roll-kernel pass emits every windowsize group's pair deltas
+        (the cluster engine's G-kernels-to-1 collapse)."""
+        from kmergma_tpu.ops.scan import _pair_ab_xla, rolling_kmer_codes_jnp
+        from kmergma_tpu.ops.scan_pallas import codes_pair_roll_multi
+
+        rng = np.random.default_rng(13)
+        n, k, depth = 2000, 5, 16
+        ws_tuple = (90, 97, 101)
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        kc_ref = np.asarray(rolling_kmer_codes_jnp(jnp.asarray(codes), k))
+        nt = n - max(ws_tuple) - 100
+        nkc = n - k + 1
+        ab, kc = codes_pair_roll_multi(
+            jnp.asarray(codes), k, ws_tuple, nt, nkc, depth,
+            tile_windows=128, rows=8, interpret=True,
+        )
+        assert np.asarray(kc).tolist() == kc_ref[:nkc].tolist()
+        for g, ws in enumerate(ws_tuple):
+            w = ws - k + 1
+            want = np.asarray(_pair_ab_xla(jnp.asarray(kc_ref), w, nt, depth))
+            assert np.asarray(ab[g]).tolist() == want.tolist(), f"group {g} (ws={ws})"
+
     @pytest.mark.parametrize("use_pallas", [False, True])
     def test_scan_rows_d_matches_per_row_oracle(self, use_pallas):
         """The batched region recompute (_scan_rows_d - the hit-dense hot
