@@ -238,6 +238,7 @@ def strobemer_find_genes(
     do_return_hit_loci: bool = False,
     do_return_align: bool = False,
     verbose: bool = True,
+    checkpoint_path: str | None = None,
 ) -> list:
     """Experimental randstrobe-based search
     (ref StrobemerGMA/StrobeGenomeMiner.jl:119-158).  No threshold
@@ -257,6 +258,7 @@ def strobemer_find_genes(
         do_return_dists=do_return_dists,
         do_return_align=do_return_align,
         get_hit_loci=do_return_hit_loci,
+        checkpoint_path=checkpoint_path,
     )
     out: list = [res.hits]
     if do_return_hit_loci:

@@ -119,6 +119,7 @@ def strobe_mine_genome(
     do_return_align: bool = False,
     get_hit_loci: bool = False,
     chunk_windows: int | None = None,
+    checkpoint_path: str | None = None,
 ) -> MineResult:
     import jax.numpy as jnp
 
@@ -135,12 +136,30 @@ def strobe_mine_genome(
 
     res = MineResult()
     dist_parts: list[np.ndarray] = []
-    genome_pos = 0
     engines: dict[int, StrobeSpanEngine] = {}  # per x* (usually one)
-    for record in as_records(genome):
+
+    ckpt = None
+    if checkpoint_path is not None:
+        from ..utils.checkpoint import ScanCheckpoint
+
+        genome_id = (
+            f"strobe|{genome if isinstance(genome, str) else 'records'}"
+            f"|s={s}|wmin={w_min}|wmax={w_max}|q={q}|ws={ws}|thr={thr}"
+        )
+        ckpt = ScanCheckpoint.load_or_create(checkpoint_path, genome_id)
+        res.hits.extend(ckpt.restore_hits())
+        res.hit_loci.extend(ckpt.hit_loci)
+
+    genome_pos = ckpt.genome_pos if ckpt else 0
+    for record_idx, record in enumerate(as_records(genome)):
+        if ckpt and record_idx < ckpt.next_record:
+            continue
+        hits_before, loci_before = len(res.hits), len(res.hit_loci)
         seq_len = len(record)
         if seq_len < ws:
             # ref StrobeGenomeMiner.jl:36: `continue` skips genome_pos too
+            if ckpt:
+                ckpt.record_done(record_idx, genome_pos, [], [])
             continue
         codes = record.codes
         # vectorised strobemer extraction, then the production span engine
@@ -198,7 +217,13 @@ def strobe_mine_genome(
                 if get_hit_loci:
                     res.hit_loci.append(rng[0] + genome_pos)
         genome_pos += seq_len
+        if ckpt:
+            ckpt.record_done(
+                record_idx, genome_pos, res.hits[hits_before:], res.hit_loci[loci_before:]
+            )
 
+    if ckpt:
+        ckpt.done()
     if do_return_dists:
         res.dists = np.concatenate(dist_parts) if dist_parts else np.empty(0)
     return res

@@ -127,15 +127,15 @@ def main(argv: list[str] | None = None) -> int:
             devices=args.devices, checkpoint_path=args.checkpoint, **kwargs,
         )
     else:  # strobe-find-genes
-        if args.devices or args.checkpoint:
-            print("--devices/--checkpoint are not supported for the strobemer scan", file=sys.stderr)
+        if args.devices:
+            print("--devices is not supported for the strobemer scan", file=sys.stderr)
             return 2
         out = api.strobemer_find_genes(
             genome_path=args.genome, ref_path=args.refs,
             s=args.s, w_min=args.w_min, w_max=args.w_max, q=args.q_prime,
             kmer_dist_thr=args.thr, do_align=not args.no_align,
             align_score_thr=args.align_score_thr, do_return_hit_loci=True,
-            verbose=verbose,
+            verbose=verbose, checkpoint_path=args.checkpoint,
             **({"buffer": args.buffer} if args.buffer is not None else {}),
         )
 

@@ -142,3 +142,42 @@ def test_find_genes_checkpoint_api(tmp_path, mini_genome, ref_fasta):
         genome_path=mini_genome, ref_path=ref_fasta, verbose=False, checkpoint_path=ckpt
     )[0]
     assert [h.description for h in hits] == REFERENCE_GOLDEN_HITS
+
+
+def test_strobe_miner_checkpoint_resume(tmp_path, ref_fasta, test_genome):
+    """The strobemer miner checkpoints per record and resumes to the exact
+    uninterrupted hit set (parity with the k-mer miners)."""
+    from kmergma_tpu.models.strobe_miner import gen_strobe_ref_ws_cons, strobe_mine_genome
+    from kmergma_tpu.utils.checkpoint import ScanCheckpoint
+
+    profile = gen_strobe_ref_ws_cons(ref_fasta)
+    full = strobe_mine_genome(test_genome, profile, thr=30, do_align=False, get_hit_loci=True)
+    assert len(full.hits) > 0
+
+    # simulate an interrupted run: pre-seed a checkpoint that has finished
+    # the first two records with the hits the full run produced there
+    import json
+    import os
+
+    ckpt_path = str(tmp_path / "strobe.ckpt")
+    gid = (
+        f"strobe|{test_genome}|s=2|wmin=3|wmax=5|q=5"
+        f"|ws={profile.windowsize}|thr=30"
+    )
+    ck = ScanCheckpoint.load_or_create(ckpt_path, gid)
+    from kmergma_tpu.utils.fasta import as_records
+
+    recs = as_records(test_genome)
+    pos0 = len(recs[0])
+    done = [h for h in full.hits if h.description.startswith(recs[0].identifier)]
+    loci_done = full.hit_loci[: len(done)]
+    ck.record_done(0, pos0, done, loci_done)
+    assert os.path.exists(ckpt_path)
+
+    resumed = strobe_mine_genome(
+        test_genome, profile, thr=30, do_align=False, get_hit_loci=True,
+        checkpoint_path=ckpt_path,
+    )
+    assert [h.description for h in resumed.hits] == [h.description for h in full.hits]
+    assert resumed.hit_loci == full.hit_loci
+    assert not os.path.exists(ckpt_path)  # completed checkpoints are removed
