@@ -203,6 +203,7 @@ class ClusterScanEngine:
             for (ws, depth), cis in sorted(by_key.items())
         )
         self.s_stack = jnp.stack([e.s_dev for e in self.engines])
+        self._small_cache: dict = {}
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(codes, max_ws=self.max_ws)
@@ -225,13 +226,22 @@ class ClusterScanEngine:
         thr_ints = np.array(
             [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
         )
+        # cache the two small per-record device arrays (high per-transfer
+        # latency on remote TPUs; most genomes repeat a few record lengths)
+        key = (tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
+        devs = self._small_cache.get(key)
+        if devs is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            devs = (jnp.asarray(n_valids), jnp.asarray(thr_ints))
+            self._small_cache[key] = devs
         bitmaps = _with_retry(
             lambda: np.asarray(
                 _cluster_record_bitmaps(
                     prep.dev,
-                    jnp.asarray(n_valids),
+                    devs[0],
                     self.s_stack,
-                    jnp.asarray(thr_ints),
+                    devs[1],
                     k=self.k,
                     span=self.chunk,
                     block=self.block,
