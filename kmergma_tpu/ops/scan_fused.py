@@ -101,9 +101,40 @@ def _chunked_table_gather(tab_ref, idx):
     return jnp.take_along_axis(wide, idx, axis=1)[:, :n]
 
 
+def _mxu_table_lookup(tabt_ref, kcodes, half: int):
+    """g = S[kcodes] via an in-kernel one-hot MXU matmul (the VERDICT r2
+    next-#3 experiment): per sublane row, a (half, lk) one-hot of the high
+    digit hits the MXU against the PRE-TRANSPOSED (half, half) table -
+    result[u, i] = S[half*hi[i] + u] - then a log2(half)-round bit-halving
+    select on the low digit extracts the wanted entry without any gather.
+    All products are 0/1 * S and each sum has one non-zero term, so f32 is
+    exact for |S| < 2^24 (same argument as ops.scan.profile_lookup).
+    """
+    rows, lk = kcodes.shape
+    hi = kcodes // half
+    lo = kcodes % half
+    tabt = tabt_ref[:, :]
+    out = []
+    for rr in range(rows):
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (half, lk), 0) == hi[rr : rr + 1, :]
+        ).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            tabt, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (half, lk): sel[u, i] = S[half*hi[i] + u]
+        lob = lo[rr : rr + 1, :]
+        h = half // 2
+        while h >= 1:
+            take_hi = (lob & h) != 0
+            sel = jnp.where(take_hi, sel[h : 2 * h, :], sel[:h, :])
+            h //= 2
+        out.append(sel.astype(jnp.int32))
+    return jnp.concatenate(out, axis=0)
+
+
 def _fused_kernel(
     main_ref, halo_ref, tab_ref, meta_ref, bitmap_ref, carry_ref,
-    *, k: int, w: int, t: int, r: int, depth: int, block: int,
+    *, k: int, w: int, t: int, r: int, depth: int, block: int, lookup: str = "gather",
 ):
     """One grid step: ROWS consecutive tiles of t transitions each.
 
@@ -143,7 +174,11 @@ def _fused_kernel(
         ab = ab + (eq[:, w - d : w - d + t] - eq[:, :t])
 
     # --- 3. profile projections g = S[K] over all lanes, then slice ---
-    g = _chunked_table_gather(tab_ref, kcodes)
+    if lookup == "mxu":
+        # tab_ref is the PRE-TRANSPOSED (half, half) f32 table here
+        g = _mxu_table_lookup(tab_ref, kcodes, tab_ref.shape[0])
+    else:
+        g = _chunked_table_gather(tab_ref, kcodes)
     gl = g[:, :t]
     gr = g[:, w : w + t]
 
@@ -177,7 +212,7 @@ def _fused_kernel(
     carry_ref[0] = base + inc[ROWS - 1, 0]
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "t", "block", "n_tiles", "interpret"))
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "t", "block", "n_tiles", "interpret", "lookup"))
 def fused_record_bitmaps(
     codes_dev: jnp.ndarray,
     s_profile: jnp.ndarray,
@@ -191,6 +226,7 @@ def fused_record_bitmaps(
     block: int = 512,
     n_tiles: int,
     interpret: bool | None = None,
+    lookup: str = "gather",
 ):
     """Whole-record fused bitmap pass.
 
@@ -210,16 +246,25 @@ def fused_record_bitmaps(
     halo = jax.vmap(
         lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
     )(jnp.arange(n_tiles))
-    table = jnp.broadcast_to(s_profile, (ROWS, s_profile.shape[0]))
+    if lookup == "mxu":
+        # pre-transposed (half, half) f32 table: tabt[u, h] = S[half*h + u]
+        nbins = s_profile.shape[0]
+        half = 1 << (nbins.bit_length() // 2)
+        assert half * half == nbins, "mxu lookup needs a square-decomposable table"
+        table = s_profile.reshape(half, half).astype(jnp.float32).T
+        tab_spec = pl.BlockSpec((half, half), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        table = jnp.broadcast_to(s_profile, (ROWS, s_profile.shape[0]))
+        tab_spec = pl.BlockSpec((ROWS, s_profile.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM)
     grid = (n_tiles // ROWS,)
     return pl.pallas_call(
-        partial(_fused_kernel, k=k, w=w, t=t, r=r, depth=depth, block=block),
+        partial(_fused_kernel, k=k, w=w, t=t, r=r, depth=depth, block=block, lookup=lookup),
         out_shape=jax.ShapeDtypeStruct((n_tiles, t // block), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, s_profile.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            tab_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, t // block), lambda i: (i, 0), memory_space=pltpu.VMEM),

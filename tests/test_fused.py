@@ -48,6 +48,15 @@ def test_fused_bitmaps_bit_identical():
     ).reshape(-1).astype(bool)
     exp = _expected_blocks(codes, s, k, ws, r, depth, thr_int, got.size // (1), block)
     assert got.tolist() == exp.tolist()
+    # the in-kernel one-hot MXU lookup variant must be bit-identical too
+    got_mxu = np.asarray(
+        fused_record_bitmaps(
+            jnp.asarray(cd), jnp.asarray(s), meta,
+            k=k, ws=ws, r=r, depth=depth, t=t, block=block, n_tiles=n_tiles,
+            interpret=True, lookup="mxu",
+        )
+    ).reshape(-1).astype(bool)
+    assert got_mxu.tolist() == exp.tolist()
 
 
 def test_engine_fused_stream_matches_split():
