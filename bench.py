@@ -40,8 +40,9 @@ Further extras:
 
 Env knobs: BENCH_MBP (random-genome size, default 512), BENCH_DENSE_MBP
 (hit-dense genome size, default 64), BENCH_CHUNK (windows per span),
-BENCH_SKIP_EXTRAS=1 (headline only), BENCH_SKIP_3G=1 / BENCH_3G_MBP
-(skip / size the 3.2 Gbp run), BENCH_SKIP_STROBE=1.
+BENCH_SKIP_EXTRAS=1 (headline only), BENCH_SKIP_3G=1 / BENCH_3G_MBP /
+BENCH_3G_REC_MBP (skip / size / record-size the ~3.2 Gbp multi-record run),
+BENCH_SKIP_STROBE=1.
 """
 
 import json
@@ -73,35 +74,80 @@ def _device_random_genome(engine, n_bp: int, seed: int, max_ws: int):
         total = -(-total // (4 * piece)) * (4 * piece)
 
     # splitmix-style integer hash of the position index: statistically
-    # uniform 2-bit codes, deterministic per seed, and a tiny fully-fused
-    # XLA graph (jax.random.randint's threefry graph took ~10 min to
-    # compile through the remote-compile relay at 512 Mbp)
+    # uniform 2-bit codes, deterministic per seed.  On TPU this runs as a
+    # Pallas kernel: Mosaic kernels compile in seconds through the
+    # remote-compile relay, where the equivalent XLA graph was measured at
+    # 13-22 MINUTES per process (the relay's HLO cache does not reliably
+    # persist it across processes).  The XLA path below is the CPU/oracle
+    # fallback - bit-identical output.
     def hash_codes(pos, seed_arr):
         x = pos * jnp.uint32(0x9E3779B9) + seed_arr[0]
         x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
         x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
         return ((x >> 7) & 3).astype(jnp.int8)
 
-    chunk = 1 << 26  # bound uint32 intermediates to ~270 MB at multi-Gbp sizes
-    if total <= chunk:
-
-        @jax.jit
-        def gen(seed_arr):
-            return hash_codes(jnp.arange(total, dtype=jnp.uint32), seed_arr)
-
+    if jax.default_backend() == "tpu":
+        dev = _pallas_hash_genome(total, seed)
     else:
-        assert total % chunk == 0  # multi-piece totals are 64 MiB multiples
+        chunk = 1 << 26  # bound uint32 intermediates at multi-Gbp sizes
 
         @jax.jit
         def gen(seed_arr):
+            if total <= chunk:
+                return hash_codes(jnp.arange(total, dtype=jnp.uint32), seed_arr)
+
             def one(i):
                 pos = (i * chunk + jnp.arange(chunk, dtype=jnp.uint32)).astype(jnp.uint32)
                 return hash_codes(pos, seed_arr)
 
-            return jax.lax.map(one, jnp.arange(total // chunk, dtype=jnp.uint32)).reshape(-1)
+            n_chunks = -(-total // chunk)
+            full = jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.uint32)).reshape(-1)
+            return jax.lax.slice(full, (0,), (total,))
 
-    dev = gen(jnp.asarray([seed], dtype=jnp.uint32))
+        dev = gen(jnp.asarray([seed], dtype=jnp.uint32))
     return PreparedCodes(dev, n_spans)
+
+
+def _pallas_hash_genome(total: int, seed: int, interpret: bool | None = None):
+    """The same splitmix hash as ``hash_codes`` as a Mosaic grid kernel
+    (bit-identical output; pinned against the XLA path in tests)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ROWS, L = 8, 1 << 17  # 1M codes per grid step
+    step_elems = ROWS * L
+    n_steps = -(-total // step_elems)
+
+    def kernel(seed_ref, out_ref):
+        step = pl.program_id(0)
+        base = jnp.uint32(step * step_elems)
+        pos = (
+            base
+            + jax.lax.broadcasted_iota(jnp.uint32, (ROWS, L), 0) * jnp.uint32(L)
+            + jax.lax.broadcasted_iota(jnp.uint32, (ROWS, L), 1)
+        )
+        x = pos * jnp.uint32(0x9E3779B9) + seed_ref[0].astype(jnp.uint32)
+        x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+        x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+        out_ref[:, :] = ((x >> 7) & 3).astype(jnp.int32)
+
+    @jax.jit
+    def run(seed_arr):
+        wide = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_steps * ROWS, L), jnp.int32),
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec((ROWS, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(seed_arr)
+        return jax.lax.slice(wide.reshape(-1).astype(jnp.int8), (0,), (total,))
+
+    return run(jnp.asarray([seed], dtype=jnp.int32))
 
 
 def _plant_genes_device(prep, ref_records, n_bp: int, spacing: int):
@@ -117,6 +163,8 @@ def _plant_genes_device(prep, ref_records, n_bp: int, spacing: int):
     glen = min(len(r) for r in ref_records)
     genes = np.stack([r.codes[:glen] for r in ref_records])
     positions = np.arange(spacing // 2, n_bp - glen - 100, spacing, dtype=np.int32)
+    if positions.size == 0:
+        return prep, 0
     patch = jnp.asarray(genes[np.arange(len(positions)) % len(ref_records)])
     pos_dev = jnp.asarray(positions)
 
@@ -204,10 +252,16 @@ def main() -> None:
         "unit": "Mbp/s",
         "vs_baseline": round(mbps / 40.0, 2),
     }
-    notes = [
+
+    def note(msg: str) -> None:
+        # printed IMMEDIATELY (a crash in a later phase must not lose
+        # earlier measurements)
+        print(msg, file=sys.stderr, flush=True)
+
+    note(
         f"# random: {n_mbp:.0f} Mbp scan {best:.2f}s ({mbps:.0f} Mbp/s); device genome gen {gen_s:.2f}s; "
         f"first pass {first:.2f}s; {len(stream)} candidates, {len(hits)} hits"
-    ]
+    )
 
     if not skip_extras:
         # ---- hit-dense genome: region recompute + replay in the loop ----
@@ -227,7 +281,7 @@ def main() -> None:
         dmbps = dense_bp / dbest / 1e6
         result["hit_dense_mbps"] = round(dmbps, 2)
         result["hit_dense_hits"] = len(dhits)
-        notes.append(
+        note(
             f"# hit-dense: {dense_mbp:.0f} Mbp with {planted} planted V genes: {dbest:.2f}s "
             f"({dmbps:.0f} Mbp/s); {len(stream)} candidates -> {len(dhits)} hits"
         )
@@ -265,7 +319,7 @@ def main() -> None:
         result["cluster_mbps"] = round(cmbps, 2)
         result["cluster_m"] = m
         result["cluster_vs_baseline"] = round(cmbps / cluster_baseline, 2)
-        notes.append(
+        note(
             f"# cluster (m={m}): {dense_mbp:.0f} Mbp in {cbest:.2f}s ({cmbps:.0f} Mbp/s, "
             f"{cmbps/cluster_baseline:.1f}x the {cluster_baseline:.1f} Mbp/s reference); "
             f"{n_events} hit events"
@@ -323,42 +377,61 @@ def main() -> None:
             smbps = strobe_bp / sbest / 1e6
             result["strobe_mbps"] = round(smbps, 2)
             result["strobe_hits"] = len(shits)
-            notes.append(
+            note(
                 f"# strobe: {strobe_mbp:.0f} Mbp (device extraction + span scan + replay) in "
                 f"{sbest:.2f}s ({smbps:.0f} Mbp/s); {len(shits)} hits"
             )
             del bprep
 
-        # ---- ~3.2 Gbp device-resident scan (the human-genome row) ----
+        # ---- ~3.2 Gbp scan, chromosome-scale records (human-genome row) ----
+        # A real 3.2 Gbp genome is MULTI-RECORD (largest human chromosome
+        # ~250 Mbp); the engine's exact integer indexing is per-record int32
+        # (ops.scan check), so the genome is scanned as n_rec device-resident
+        # records - the production shape of a whole-genome run.
         if os.environ.get("BENCH_SKIP_3G", "") != "1":
             g3_mbp = float(os.environ.get("BENCH_3G_MBP", "3200"))
-            g3_bp = int(g3_mbp * 1e6)
-            gprep = _device_random_genome(engine, g3_bp, seed=11, max_ws=profile.windowsize + 1)
-            gprep, gplanted = _plant_genes_device(gprep, refs, g3_bp, spacing=25_000_000)
-            _ = np.asarray(gprep.dev[:4])
-            gshape = np.zeros(g3_bp, dtype=np.int8)
-            engine.record_stream(gshape, thr, codes_dev=gprep)  # warmup
+            # default record size == the headline's 512 Mbp so the 3 Gbp run
+            # reuses the exact compiled shapes (6 x 512 Mbp = 3.07 Gbp, the
+            # size of a real human genome assembly)
+            rec_mbp = float(os.environ.get("BENCH_3G_REC_MBP", str(n_mbp)))
+            rec_bp = int(rec_mbp * 1e6)
+            n_rec = max(1, int(round(g3_mbp / rec_mbp)))
+            g3_bp = rec_bp * n_rec
+            gpreps = []
+            gplanted = 0
+            for i in range(n_rec):
+                gp = _device_random_genome(engine, rec_bp, seed=11 + i, max_ws=profile.windowsize + 1)
+                gp, np_i = _plant_genes_device(gp, refs, rec_bp, spacing=25_000_000)
+                gplanted += np_i
+                gpreps.append(gp)
+            _ = np.asarray(gpreps[-1].dev[:4])
+            gshape = np.zeros(rec_bp, dtype=np.int8)
+            engine.record_stream(gshape, thr, codes_dev=gpreps[0])  # warmup
+
+            gcand = ghits = 0
 
             def run_3g():
-                nonlocal dist0, stream
-                dist0, stream, _ = engine.record_stream(gshape, thr, codes_dev=gprep)
+                nonlocal gcand, ghits
+                gcand = ghits = 0
+                for gp in gpreps:
+                    d0, st, _ = engine.record_stream(gshape, thr, codes_dev=gp)
+                    h = replay_single(st, d0, thr, profile.k, profile.windowsize, rec_bp, 50)
+                    gcand += len(st)
+                    ghits += len(h)
 
             gbest = _time_best(run_3g, repeats=2)
-            ghits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, g3_bp, 50)
             gmbps = g3_bp / gbest / 1e6
             result["genome3g_s"] = round(gbest, 2)
             result["genome3g_mbps"] = round(gmbps, 2)
             result["genome3g_vs_ref_80s"] = round(80.0 / gbest, 2)
-            notes.append(
-                f"# 3.2 Gbp: {g3_mbp:.0f} Mbp with {gplanted} planted genes in {gbest:.2f}s "
-                f"({gmbps:.0f} Mbp/s, {80.0/gbest:.0f}x the reference's ~80 s); "
-                f"{len(stream)} candidates -> {len(ghits)} hits"
+            note(
+                f"# 3.2 Gbp: {n_rec} records x {rec_mbp:.0f} Mbp, {gplanted} planted genes, "
+                f"scan+replay {gbest:.2f}s ({gmbps:.0f} Mbp/s, {80.0/gbest:.0f}x the reference's "
+                f"~80 s); {gcand} candidates -> {ghits} hits"
             )
-            del gprep
+            del gpreps
 
     print(json.dumps(result))
-    for n in notes:
-        print(n, file=sys.stderr)
 
 
 if __name__ == "__main__":

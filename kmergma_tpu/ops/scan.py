@@ -482,6 +482,20 @@ def _unpack_codes(packed):
     )
 
 
+def _check_record_len(n: int) -> None:
+    """Per-record guard: device window indices/positions are int32.
+
+    2^31-1 bp per record is ~8x the largest human chromosome; multi-Gbp
+    GENOMES are fine - they are multiple records (the reference streams
+    records the same way, GenomeMiner.jl:31-32)."""
+    if n >= 2**31 - 2:
+        raise ValueError(
+            f"record of {n} bp exceeds the per-record device indexing limit "
+            "(int32, ~2.1 Gbp); split the record - real contigs are far "
+            "smaller, and multi-record genomes of any total size are supported"
+        )
+
+
 def _span_bucket(n: int) -> int:
     """Round span counts up to {1, 1.5} x power-of-two (<= 33% padding waste)."""
     b = 1
@@ -587,6 +601,7 @@ class ScanEngine:
         """
         codes = np.asarray(codes, dtype=np.int8 if self.pack_codes else np.int32)
         n = codes.shape[0]
+        _check_record_len(n)
         n_spans = _span_bucket(max(1, -(-n // self.chunk)))
         # headroom for region-recompute slices near the record end: a region
         # may start just below nw and extend rspan windows (dynamic_slice
@@ -656,6 +671,7 @@ class ScanEngine:
         (see ``prepare_codes``).
         """
         n = codes.shape[0]
+        _check_record_len(n)
         nw = n - self.ws + 1
         assert nw >= 1
         thr_int = self._thr_int(thr)

@@ -66,3 +66,15 @@ def test_short_record_skipped_and_genome_pos(ref_fasta, mini_genome):
     base = mine_genome([mini], profile, thr=30, do_align=False, get_hit_loci=True)
     assert res.hit_loci == base.hit_loci  # GenomePos unaffected by the skip
     assert res.stats.records_skipped == 1
+
+
+def test_record_len_guard():
+    """Per-record int32 indexing limit raises a clear error (multi-record
+    genomes of any total size are the supported path, bench.py 3G run)."""
+    import pytest
+
+    from kmergma_tpu.ops.scan import _check_record_len
+
+    _check_record_len(2**31 - 3)  # largest allowed
+    with pytest.raises(ValueError, match="per-record device indexing limit"):
+        _check_record_len(2**31)
