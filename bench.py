@@ -364,11 +364,15 @@ def main() -> None:
             eng = StrobeSpanEngine(sprof, xstar, **eng_kwargs)
             sshape = np.zeros(nw_s + eng.ws - 1, dtype=np.int32)
 
+            s_cand = 0
+
             def run_strobe():
+                nonlocal s_cand
                 sc_dev = extract(bprep.dev)
                 d0, stream, _ = eng.record_stream(
                     sshape, sthr, codes_dev=PreparedCodes(sc_dev, bprep.n_spans)
                 )
+                s_cand = len(stream)
                 return replay_single(stream, d0, sthr, sprof.k, sprof.windowsize, strobe_bp, 50)
 
             run_strobe()  # warmup compiles
@@ -379,7 +383,7 @@ def main() -> None:
             result["strobe_hits"] = len(shits)
             note(
                 f"# strobe: {strobe_mbp:.0f} Mbp (device extraction + span scan + replay) in "
-                f"{sbest:.2f}s ({smbps:.0f} Mbp/s); {len(shits)} hits"
+                f"{sbest:.2f}s ({smbps:.0f} Mbp/s); {s_cand} candidates -> {len(shits)} hits"
             )
             del bprep
 

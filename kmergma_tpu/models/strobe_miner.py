@@ -93,7 +93,16 @@ class StrobeSpanEngine(ScanEngine):
 
     pack_codes = False  # 2s-bit strobe codes ship as int32, not quarter-packed
 
-    def __init__(self, strobe_profile: StrobeProfile, xstar: int, chunk_windows: int | None = None, bound_depth: int | None = 32):
+    #: The k-mer engine's depth-32 lower bound is USELESS here: with only
+    #: 4^(2s) = 256 strobe values, random equal-pair collisions are 16x more
+    #: frequent than for 6-mers, so the partial pair count misses most of
+    #: ||c||^2 and the depth-32 bound flags ~99% of random windows (measured:
+    #: mean L 16.6 vs mean D 48.2; depth >= ~256 of w = 282 is needed for any
+    #: pruning).  Exact mode (depth None -> the O(1)-in-depth roll kernel)
+    #: computes true distances at O(W)/bp and its bitmap prunes perfectly,
+    #: so the region recompute touches only genuinely active windows.
+
+    def __init__(self, strobe_profile: StrobeProfile, xstar: int, chunk_windows: int | None = None, bound_depth: int | None = None):
         p = strobe_profile
         w = p.windowsize - p.k  # the reference's effective rolling width
         s_mod = p.sum_kfv.astype(np.int64).copy()

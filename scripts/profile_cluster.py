@@ -1,0 +1,120 @@
+"""Stage-by-stage timing of the fused cluster bitmap pass on the real TPU.
+
+Decomposes bench.py's cluster workload (64 Mbp dense genome, m=6 clusters,
+G windowsize groups): the roll-multi pair kernel, the one-pass multi-profile
+MXU lookup, the full fused bitmap pass, stream assembly and the Omn replay -
+to locate the gap between cluster_mbps and the single-profile rate
+(VERDICT r2 weak #2 follow-up).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from kmergma_tpu.models.state_machine import OmnHitEvent, replay_omn  # noqa: E402
+from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params, gen_ref_ws_cons  # noqa: E402
+from kmergma_tpu.ops.scan_cluster import ClusterScanEngine, _cluster_record_bitmaps  # noqa: E402
+from kmergma_tpu.ops.scan import profile_lookup_multi  # noqa: E402
+from kmergma_tpu.ops.scan_pallas import codes_pair_roll_multi  # noqa: E402
+from kmergma_tpu.utils.fasta import as_records  # noqa: E402
+
+from bench import _device_random_genome, _plant_genes_device  # noqa: E402
+
+ref_path = os.path.join(here, "tests/data/Alp_V_ref.fasta")
+refs = as_records(ref_path)
+profile = gen_ref_ws_cons(ref_path, 6)
+dense_bp = int(float(os.environ.get("BENCH_DENSE_MBP", "64")) * 1e6)
+
+clusters = eliminate_null_params(cluster_ref_api(ref_path, 6, cutoffs=[7, 12, 20, 25]))
+m = len(clusters.profiles)
+thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][:m]
+ceng = ClusterScanEngine(clusters.profiles, k=6)
+print(f"m={m} groups={[(g[0], g[1], len(g[2])) for g in ceng.groups]} "
+      f"chunk={ceng.chunk}", flush=True)
+
+prep = _device_random_genome(ceng.engines[0], dense_bp, seed=7, max_ws=ceng.max_ws + 1)
+prep, planted = _plant_genes_device(prep, refs, dense_bp, spacing=500_000)
+_ = np.asarray(prep.dev[:4])
+print(f"{dense_bp/1e6:.0f} Mbp, {planted} planted genes", flush=True)
+
+dcodes_shape = np.zeros(dense_bp, dtype=np.int8)
+n_valids = np.array([dense_bp - e.ws + 1 for e in ceng.engines], dtype=np.int32)
+thr_ints = np.array([e._thr_int(t) for e, t in zip(ceng.engines, thrs)], dtype=np.int32)
+nv_dev, thr_dev = jnp.asarray(n_valids), jnp.asarray(thr_ints)
+
+
+def t(name, fn, n=3):
+    out = fn()
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:4])
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        for leaf in jax.tree.leaves(out):
+            if hasattr(leaf, "ravel"):
+                np.asarray(leaf.ravel()[:4])
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:44s} {best*1e3:9.1f} ms", flush=True)
+    return out, best
+
+
+# one span's codes (the per-span work, timed standalone)
+span = ceng.chunk
+max_w = ceng.max_ws - 6 + 1
+span_codes = jax.lax.slice(prep.dev, (0,), (span + ceng.max_ws - 1,))
+ws_tuple = tuple(g[0] for g in ceng.groups)
+depth = ceng.groups[0][1]
+
+(ab_multi, kcodes), _ = t(
+    f"A. codes_pair_roll_multi (1 span, G={len(ws_tuple)})",
+    lambda: codes_pair_roll_multi(span_codes, 6, ws_tuple, span - 1, span + max_w - 1, depth),
+)
+kc = jax.lax.slice(kcodes, (0,), (span + max_w - 1,))
+_, _tl = t("B. profile_lookup_multi (1 span, m profiles)", lambda: profile_lookup_multi(kc, ceng.s_stack))
+
+# full fused bitmap pass (all spans)
+def bitmaps_fn():
+    return _cluster_record_bitmaps(
+        prep.dev, nv_dev, ceng.s_stack, thr_dev, k=6, span=ceng.chunk,
+        block=ceng.block, n_spans=prep.n_spans, use_pallas=ceng.use_pallas,
+        groups=ceng.groups,
+    )
+
+bm, t_bm = t(f"C. full cluster bitmap pass ({prep.n_spans} spans)", bitmaps_fn)
+
+# stream assembly + replay (the rest of record_streams)
+def streams_fn():
+    return ceng.record_streams(dcodes_shape, thrs, codes_dev=prep)
+
+pairs, t_st = t("D. record_streams end-to-end", streams_fn)
+print(f"   candidates per cluster: {[len(p[1]) for p in pairs]}", flush=True)
+
+windowsizes = [p.windowsize for p in clusters.profiles]
+events = []
+
+def process(ev: OmnHitEvent) -> bool:
+    events.append(ev)
+    return True
+
+def replay_fn():
+    events.clear()
+    replay_omn([p[1] for p in pairs], [p[0] for p in pairs], thrs, 6,
+               windowsizes, dense_bp, process)
+    return None
+
+_, t_rp = t("E. replay_omn (host)", replay_fn)
+print(f"   events: {len(events)}", flush=True)
+print(
+    f"breakdown: bitmap {t_bm*1e3:.0f} + assemble {(t_st-t_bm)*1e3:.0f} + replay {t_rp*1e3:.0f} "
+    f"= {(t_st+t_rp)*1e3:.0f} ms -> {dense_bp/(t_st+t_rp)/1e6:.1f} Mbp/s", flush=True,
+)
