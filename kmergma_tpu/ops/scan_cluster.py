@@ -53,7 +53,7 @@ def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
     return jax.lax.fori_loop(1, depth + 1, body, jnp.int32(0))
 
 
-def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block, groups, use_pallas):
+def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block, groups, use_pallas, pair_kernel="roll"):
     """Activity bitmaps of one span for ALL clusters: (m, span // block).
 
     ``codes_span`` holds span + max_ws - 1 codes; ``pos`` the span's global
@@ -73,13 +73,16 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     ab_multi = None
     depths = {g[1] for g in groups}
     if use_pallas and len(depths) == 1:
-        # ONE roll-kernel pass emits the K codes AND every windowsize
-        # group's pair deltas: the B_D accumulator is width-independent, so
-        # each extra group costs one static roll (codes_pair_roll_multi) -
-        # the cluster pass's pair cost no longer scales with G at all.
-        from .scan_pallas import codes_pair_roll_multi
+        # ONE kernel pass emits the K codes AND every windowsize group's
+        # pair deltas.  Two bit-identical variants: "roll" (width-independent
+        # B_D accumulator, one static roll per extra group, t=32768) and
+        # "unroll" (static-sliced depth unroll sharing one compare stream
+        # per depth across groups, no lane rolls, t=8192) - selected by the
+        # engine's ``pair_kernel`` after TPU ablation (scripts/profile_cluster.py).
+        from .scan_pallas import codes_pair_multi, codes_pair_roll_multi
 
-        ab_multi, kcodes_all = codes_pair_roll_multi(
+        fn = codes_pair_roll_multi if pair_kernel == "roll" else codes_pair_multi
+        ab_multi, kcodes_all = fn(
             codes_span, k, tuple(g[0] for g in groups), nt,
             span + max_w - 1, next(iter(depths)),
         )
@@ -130,9 +133,9 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
     return jnp.stack(bitmaps)
 
 
-@partial(jax.jit, static_argnames=("k", "span", "block", "n_spans", "use_pallas", "groups"))
+@partial(jax.jit, static_argnames=("k", "span", "block", "n_spans", "use_pallas", "groups", "pair_kernel"))
 def _cluster_record_bitmaps(
-    codes_dev, n_valids, s_stack, thr_ints, *, k, span, block, n_spans, use_pallas, groups
+    codes_dev, n_valids, s_stack, thr_ints, *, k, span, block, n_spans, use_pallas, groups, pair_kernel="roll"
 ):
     """Activity bitmaps for ALL clusters in one device pass.
 
@@ -153,6 +156,7 @@ def _cluster_record_bitmaps(
         return _, _span_bitmaps(
             codes, pos, s_stack, thr_ints, n_valids, s2,
             k=k, block=block, groups=groups, use_pallas=use_pallas,
+            pair_kernel=pair_kernel,
         )
 
     _, out = jax.lax.scan(step, 0, jnp.arange(n_spans))
@@ -175,8 +179,10 @@ class ClusterScanEngine:
         chunk_windows: int | None = None,
         use_pallas: bool | None = None,
         bound_depth: int | None = 32,
+        pair_kernel: str = "roll",
     ):
         self.k = k
+        self.pair_kernel = pair_kernel
         self.engines = [
             ScanEngine(
                 p.sum_kfv,
@@ -248,6 +254,7 @@ class ClusterScanEngine:
                     n_spans=prep.n_spans,
                     use_pallas=self.use_pallas,
                     groups=self.groups,
+                    pair_kernel=self.pair_kernel,
                 )
             )
         )  # (n_spans, m, blocks)

@@ -408,6 +408,97 @@ def _codes_pair_roll_multi_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int,
         ab_ref[:, g * t : (g + 1) * t] = a - b_acc
 
 
+def _codes_pair_multi_kernel(main_ref, halo_ref, ab_ref, kc_ref, *, k: int, ws_tuple: tuple, t: int, depth: int, rows: int):
+    """Static-unroll multi-windowsize variant of _codes_pair_kernel.
+
+    Shares ONE compare stream per depth across every windowsize group (the
+    scan_fused trick): eq_d[i] = (K[i] == K[i+d]) gives group g's entering
+    term at static lane shift w_g - d and the GROUP-INDEPENDENT leaving term
+    at shift 0, so each depth costs 1 compare + (G + 1) adds - no cyclic
+    rolls (the roll-carried variant pays 2 lane rolls per depth, which
+    Mosaic lowers to lane shuffles).  Scoped VMEM holds one eq per depth:
+    rows * (t + hw) * depth * 4 B caps t at 8192 for depth 32 (same budget
+    as codes_pair_ab_kcodes).
+
+    ab_ref: (rows, G * t) int32 - group g's net pair deltas at columns
+    [g*t, (g+1)*t); kc_ref: (rows, t) int32 K codes.
+    """
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+    lc = codes.shape[1]
+    L = lc - k + 1  # needs L >= t + max(w)
+    kc = codes[:, :L] << (2 * (k - 1))
+    for j in range(1, k):
+        kc = kc + (codes[:, j : j + L] << (2 * (k - 1 - j)))
+    kc_ref[:, :] = kc[:, :t]
+
+    ws_list = [ws - k + 1 for ws in ws_tuple]
+    a = [jnp.zeros((rows, t), dtype=jnp.int32) for _ in ws_list]
+    b = jnp.zeros((rows, t), dtype=jnp.int32)
+    for d in range(1, depth + 1):
+        eq = (kc[:, : L - d] == kc[:, d:L]).astype(jnp.int32)
+        b = b + eq[:, :t]
+        for g, w in enumerate(ws_list):
+            a[g] = a[g] + eq[:, w - d : w - d + t]
+    for g in range(len(ws_list)):
+        ab_ref[:, g * t : (g + 1) * t] = a[g] - b
+
+
+@partial(jax.jit, static_argnames=("k", "ws_tuple", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
+def codes_pair_multi(
+    codes_pad: jnp.ndarray,
+    k: int,
+    ws_tuple: tuple,
+    nt: int,
+    nkc: int,
+    depth: int,
+    tile_windows: int = 8192,
+    rows: int = 8,
+    interpret: bool | None = None,
+):
+    """codes_pair_roll_multi contract backed by the static-unroll kernel
+    (bit-identical outputs; candidate production kernel - ablate on TPU)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    assert rows % 8 == 0, f"rows must be a multiple of 8 (int32 sublanes), got {rows}"
+    t = tile_windows
+    ngroups = len(ws_tuple)
+    max_w = max(ws_tuple) - k + 1
+    need = max(nt, nkc)
+    n_tiles = -(-need // t)
+    n_tiles = -(-n_tiles // rows) * rows
+    hw = -(-(max_w + k - 1) // 128) * 128
+    total = n_tiles * t + hw
+    if codes_pad.shape[0] < total:
+        codes_pad = jnp.pad(codes_pad, (0, total - codes_pad.shape[0]))
+    main = codes_pad[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_pad, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    ab, kc = pl.pallas_call(
+        partial(_codes_pair_multi_kernel, k=k, ws_tuple=ws_tuple, t=t, depth=depth, rows=rows),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, ngroups * t), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, t), jnp.int32),
+        ),
+        grid=(n_tiles // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, ngroups * t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(main, halo)
+    ab_groups = jnp.stack(
+        [ab[:, g * t : (g + 1) * t].reshape(-1)[:nt] for g in range(ngroups)]
+    )
+    return ab_groups, kc.reshape(-1)[:nkc]
+
+
 @partial(jax.jit, static_argnames=("k", "ws_tuple", "nt", "nkc", "depth", "tile_windows", "rows", "interpret"))
 def codes_pair_roll_multi(
     codes_pad: jnp.ndarray,

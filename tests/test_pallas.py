@@ -1,6 +1,8 @@
 """Pallas kernel correctness: bit-identical to the XLA scan (interpret mode
 on CPU; the same kernel compiles via Mosaic on real TPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -170,6 +172,47 @@ class TestLowerBounds:
             w = ws - k + 1
             want = np.asarray(_pair_ab_xla(jnp.asarray(kc_ref), w, nt, depth))
             assert np.asarray(ab[g]).tolist() == want.tolist(), f"group {g} (ws={ws})"
+
+    def test_codes_pair_multi_matches_roll_multi(self):
+        """The static-unroll multi-ws kernel is bit-identical to the roll
+        variant (and hence to the XLA oracle) on every group."""
+        from kmergma_tpu.ops.scan_pallas import codes_pair_multi, codes_pair_roll_multi
+
+        rng = np.random.default_rng(29)
+        n, k, depth = 2000, 5, 16
+        ws_tuple = (90, 97, 101)
+        codes = rng.integers(0, 4, n, dtype=np.int8)
+        nt = n - max(ws_tuple) - 100
+        nkc = n - k + 1
+        ab_r, kc_r = codes_pair_roll_multi(
+            jnp.asarray(codes), k, ws_tuple, nt, nkc, depth,
+            tile_windows=128, rows=8, interpret=True,
+        )
+        ab_u, kc_u = codes_pair_multi(
+            jnp.asarray(codes), k, ws_tuple, nt, nkc, depth,
+            tile_windows=128, rows=8, interpret=True,
+        )
+        assert np.asarray(kc_u).tolist() == np.asarray(kc_r).tolist()
+        assert np.asarray(ab_u).tolist() == np.asarray(ab_r).tolist()
+
+    def test_cluster_engine_unroll_kernel_stream_equality(self):
+        """ClusterScanEngine(pair_kernel='unroll') produces the same streams
+        as the default roll kernel wiring (use_pallas=True, interpret)."""
+        from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params, gen_ref_ws_cons
+        from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        ref = os.path.join(here, "data", "Alp_V_ref.fasta")
+        clusters = eliminate_null_params(cluster_ref_api(ref, 6, cutoffs=[7, 12, 20, 25]))
+        profiles = clusters.profiles
+        thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(profiles)]
+        rng = np.random.default_rng(5)
+        codes = rng.integers(0, 4, 4000, dtype=np.int8)
+        a = ClusterScanEngine(profiles, k=6, use_pallas=True, chunk_windows=1024)
+        b = ClusterScanEngine(profiles, k=6, use_pallas=True, chunk_windows=1024, pair_kernel="unroll")
+        sa = a.record_streams(codes, thrs)
+        sb = b.record_streams(codes, thrs)
+        assert sa == sb
 
     @pytest.mark.parametrize("use_pallas", [False, True])
     def test_scan_rows_d_matches_per_row_oracle(self, use_pallas):
