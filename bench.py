@@ -272,12 +272,17 @@ def main() -> None:
         dcodes_shape = np.zeros(dense_bp, dtype=np.int8)
         engine.record_stream(dcodes_shape, thr, codes_dev=dprep)  # warmup
 
+        dhits = []
+
         def run_dense():
-            nonlocal dist0, stream
+            # scan AND state-machine replay in the timed loop (the honest
+            # end-to-end number; the replay is run-segmented so dense
+            # candidate streams cost ~runs, not ~elements)
+            nonlocal dist0, stream, dhits
             dist0, stream, _ = engine.record_stream(dcodes_shape, thr, codes_dev=dprep)
+            dhits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, dense_bp, 50)
 
         dbest = _time_best(run_dense)
-        dhits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, dense_bp, 50)
         dmbps = dense_bp / dbest / 1e6
         result["hit_dense_mbps"] = round(dmbps, 2)
         result["hit_dense_hits"] = len(dhits)

@@ -533,14 +533,19 @@ class ScanEngine:
     #: strobe codes with k=1) ship int32 codes unpacked
     pack_codes = True
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 32, use_fused: bool | None = None):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 16, use_fused: bool | None = None):
         _ensure_compile_cache()
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
         # Bitmap passes use certified lower bounds at this pair depth
         # (None = exact distances).  Equality holds at depth = W - 1, so
-        # clamping keeps short windows exact.
+        # clamping keeps short windows exact.  Default 16: the bound's low
+        # tail is set by the profile-projection term, not the pair count -
+        # measured on 8 Mbp random DNA the q1e-6 tail is 31.55 at depth 16
+        # vs 31.64 at depth 32 (same flood margin), real-genome skirts widen
+        # ~10%, and the pair stage halves; depth 16 is also the deepest the
+        # fused MXU-lookup kernel compiles at on v5e.
         if bound_depth is not None:
             bound_depth = min(bound_depth, ws - k)
         self.bound_depth = bound_depth
@@ -565,11 +570,19 @@ class ScanEngine:
             use_pallas = jax.default_backend() == "tpu" and 4**k <= 2**14
         self.use_pallas = use_pallas
         if use_fused is None:
-            # the fully-fused codes->bitmap kernel (ops/scan_fused.py) is
-            # bit-identical but measured at parity with the split pass on
-            # v5e (its in-kernel gather + cumsum offset the saved XLA glue),
-            # so it stays opt-in: KMERGMA_FUSED=1 or use_fused=True
-            use_fused = os.environ.get("KMERGMA_FUSED", "") == "1"
+            # the fully-fused codes->bitmap kernel (ops/scan_fused.py) with
+            # the in-kernel one-hot MXU lookup is the production TPU path:
+            # measured 44-63 ms vs the split pass's 78-93 ms per 64 Mbp at
+            # depth 8-16 (r3 sweep, bit-identical bitmaps).  Its Mosaic
+            # compile needs depth <= 16 and a VMEM-resident (2^k, 2^k)
+            # table; KMERGMA_FUSED=0 opts back into the split pass.
+            use_fused = (
+                os.environ.get("KMERGMA_FUSED", "") != "0"
+                and jax.default_backend() == "tpu"
+                and 4**k <= 4096
+                and bound_depth is not None
+                and bound_depth <= 16
+            )
         self.use_fused = use_fused and use_pallas and bound_depth is not None
 
     def _thr_int(self, thr: float) -> np.int32:

@@ -178,7 +178,7 @@ class ClusterScanEngine:
         k: int,
         chunk_windows: int | None = None,
         use_pallas: bool | None = None,
-        bound_depth: int | None = 32,
+        bound_depth: int | None = 16,
         pair_kernel: str = "roll",
     ):
         self.k = k
@@ -192,6 +192,7 @@ class ClusterScanEngine:
                 chunk_windows=chunk_windows,
                 use_pallas=use_pallas,
                 bound_depth=bound_depth,
+                use_fused=False,  # the cluster pass fuses its own span scan
             )
             for p in profiles
         ]

@@ -26,16 +26,20 @@ arithmetic, same order), so the bitmap equals the split pass's exactly -
 asserted in tests/test_fused.py and verified bit-identical on a real v5e
 over a 64 Mbp genome.
 
-Measured on v5e (64 Mbp, depth 32, t=8192): fused whole-record 98.6 ms vs
-the split pass's 96.1 ms - PARITY, not a win: the XLA glue it absorbs
-(K-code build 25.1 ms, lookup 9.1 ms, delta+cumsum 9 ms) is offset by the
-in-kernel narrow-gather lookup (~21 ms; Mosaic's tpu.dynamic_gather is
-limited to one 128-lane source vreg, so S[K] costs 32 masked chunk gathers
-per 128 lanes) and the in-lane roll-based cumsum (~15 ms), plus ~24 us/step
-fixed overhead.  Ablations: base (kcodes+cumsum+bitmap) 49.7 ms, +pairs
-76.2 ms, +gather 98.8 ms.  Kept as the opt-in ``use_fused``/KMERGMA_FUSED=1
-engine path: it holds everything on-core (no genome-sized intermediates),
-which is the right starting point if Mosaic grows wide-gather support.
+Lookup variants (r3 sweep on v5e, 64 Mbp):
+
+  * ``mxu`` (PRODUCTION DEFAULT): in-kernel one-hot MXU lookup - 44-63 ms
+    vs the split pass's 78-93 ms at depth 8-16, bitmaps bit-identical.
+    Mosaic compiles it only for depth <= 16 (deeper bound loops push the
+    scoped-VMEM/live-range budget past what the kernel fits in).
+  * ``gather``: the wide take_along_axis formulation stopped compiling on
+    the current v5e toolchain ("Not implemented: Multiple source vregs
+    along gather dimension" - tpu.dynamic_gather accepts ONE 128-lane
+    source vreg); kept for interpret-mode reference only.
+
+The engine enables this kernel by default on TPU (KMERGMA_FUSED=0 opts
+back into the split pass); everything stays on-core - no genome-sized
+K-code/lookup/delta intermediates ever touch HBM.
 """
 
 from __future__ import annotations
@@ -134,7 +138,7 @@ def _mxu_table_lookup(tabt_ref, kcodes, half: int):
 
 def _fused_kernel(
     main_ref, halo_ref, tab_ref, meta_ref, bitmap_ref, carry_ref,
-    *, k: int, w: int, t: int, r: int, depth: int, block: int, lookup: str = "gather",
+    *, k: int, w: int, t: int, r: int, depth: int, block: int, lookup: str = "mxu",
 ):
     """One grid step: ROWS consecutive tiles of t transitions each.
 
@@ -226,7 +230,7 @@ def fused_record_bitmaps(
     block: int = 512,
     n_tiles: int,
     interpret: bool | None = None,
-    lookup: str = "gather",
+    lookup: str = "mxu",
 ):
     """Whole-record fused bitmap pass.
 

@@ -129,13 +129,14 @@ class ShardedScanEngine(ScanEngine):
         mesh: Mesh | None = None,
         chunk_windows: int | None = None,
         use_pallas: bool | None = None,
-        bound_depth: int | None = 32,
+        bound_depth: int | None = 16,
     ):
         from .mesh import make_mesh
 
         super().__init__(
             s_profile, k=k, ws=ws, r=r, chunk_windows=chunk_windows,
             use_pallas=use_pallas, bound_depth=bound_depth,
+            use_fused=False,  # the sharded pass runs the span kernels SPMD
         )
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -187,7 +188,7 @@ class ShardedClusterScanEngine(ClusterScanEngine):
         mesh: Mesh | None = None,
         chunk_windows: int | None = None,
         use_pallas: bool | None = None,
-        bound_depth: int | None = 32,
+        bound_depth: int | None = 16,
     ):
         from .mesh import make_mesh
 

@@ -184,7 +184,7 @@ class TPScanEngine(ScanEngine):
 
     prefetch_h2d = False
 
-    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, mesh: Mesh | None = None, chunk_windows: int | None = None, bound_depth: int | None = 32):
+    def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, mesh: Mesh | None = None, chunk_windows: int | None = None, bound_depth: int | None = 16):
         from .mesh import make_mesh
 
         super().__init__(

@@ -2,17 +2,17 @@
 
 One process (one TPU client), everything timed back to back:
 
-  * split (production codes_pair kernel + XLA lookup/cumsum) at depths 8/16/32
-  * fused (codes->bitmap Mosaic kernel) with gather and mxu lookups, same depths
-  * workloads: 64 Mbp random genome (headline shape) and the same genome
-    with 128 planted V genes (hit-dense shape)
   * end-to-end hit-dense record_stream+replay at each depth (the bench's
-    hit_dense_mbps number), since lower depths widen the candidate skirts.
+    hit_dense_mbps number) - lower depths widen the candidate skirts;
+  * split (production codes_pair kernel + XLA lookup/cumsum) at each depth;
+  * fused (codes->bitmap Mosaic kernel) lookup variants, with bitmap
+    equality asserted against split.  Each fused variant is fail-tolerant:
+    the wide take_along_axis "gather" lookup hits Mosaic's one-source-vreg
+    dynamic_gather limit on v5e (recorded, not fatal).
 
-Asserts fused == split bitmaps at every (depth, workload) combination.
-Informs the default ``bound_depth`` and ``use_fused`` choices (VERDICT r2
-next-#3; the depth study in r3 showed the bound's tail is set by the
-projection term, so small depths stay flood-free at bench thresholds).
+Env knobs: BENCH_MBP (genome size, default 64), SWEEP_DEPTHS (default
+8,16,32), SWEEP_LOOKUPS (default mxu,gather), SWEEP_E2E=0 (skip the
+e2e dense section), SWEEP_KERNELS=0 (skip split/fused timings).
 """
 
 import os
@@ -45,6 +45,7 @@ thr = 30.0
 n_bp = int(float(os.environ.get("BENCH_MBP", "64")) * 1e6)
 nw = n_bp - ws + 1
 DEPTHS = [int(d) for d in os.environ.get("SWEEP_DEPTHS", "8,16,32").split(",")]
+LOOKUPS = os.environ.get("SWEEP_LOOKUPS", "mxu,gather").split(",")
 
 eng = S.ScanEngine(profile.sum_kfv, k=k, ws=ws, r=r, use_fused=True)
 thr_int = int(eng._thr_int(thr))
@@ -76,50 +77,58 @@ def timeit(fn, label, n=3):
     return out, best
 
 
-for wl_name, prep in (("random", prep_rand), ("dense", prep_dense)):
-    print(f"--- workload {wl_name}", flush=True)
+# --- end-to-end hit-dense at each depth (engine incl. regions + replay) ---
+if os.environ.get("SWEEP_E2E", "1") == "1":
+    print("--- end-to-end hit-dense record_stream+replay", flush=True)
+    codes_shape = np.zeros(n_bp, dtype=np.int8)
     for depth in DEPTHS:
-        split, _ = timeit(
-            lambda d=depth: S._scan_record_bitmaps(
-                prep.dev, eng._nv(nw), eng.s_dev, thr_dev, k=k, ws=ws, r=r,
-                span=eng.chunk, block=eng.block, n_spans=prep.n_spans,
-                use_pallas=True, depth=d,
-            ),
-            f"{wl_name} split d={depth:2d}        ",
+        e = S.ScanEngine(profile.sum_kfv, k=k, ws=ws, r=r, bound_depth=depth)
+
+        def full(e=e):
+            d0, st, _ = e.record_stream(codes_shape, thr, codes_dev=prep_dense)
+            return replay_single(st, d0, thr, k, ws, n_bp, 50), len(st)
+
+        hits, n_cand = full()  # warmup compiles
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            hits, n_cand = full()
+            best = min(best, time.perf_counter() - t0)
+        print(
+            f"e2e dense d={depth:2d}: {best*1e3:7.1f} ms ({n_bp/best/1e6:5.0f} Mbp/s) "
+            f"{n_cand} candidates -> {len(hits)} hits", flush=True,
         )
-        split_bits = np.asarray(split).reshape(-1)[: nw // eng.block]
-        l0 = S._first_window_l0(prep.dev, eng.s_dev, k=k, ws=ws, r=r, depth=depth)
-        meta = jnp.stack([jnp.int32(thr_int), l0.astype(jnp.int32), jnp.int32(nw)])
-        for lookup in ("gather", "mxu"):
-            out, _ = timeit(
-                lambda lk=lookup, d=depth: fused_record_bitmaps(
-                    prep.dev, eng.s_dev, meta, k=k, ws=ws, r=r, depth=d,
-                    t=t, block=eng.block, n_tiles=n_tiles, lookup=lk,
+
+# --- kernel-level: split + fused variants per depth ---
+if os.environ.get("SWEEP_KERNELS", "1") == "1":
+    for wl_name, prep in (("random", prep_rand), ("dense", prep_dense)):
+        print(f"--- workload {wl_name}", flush=True)
+        for depth in DEPTHS:
+            split, _ = timeit(
+                lambda d=depth: S._scan_record_bitmaps(
+                    prep.dev, eng._nv(nw), eng.s_dev, thr_dev, k=k, ws=ws, r=r,
+                    span=eng.chunk, block=eng.block, n_spans=prep.n_spans,
+                    use_pallas=True, depth=d,
                 ),
-                f"{wl_name} fused d={depth:2d} {lookup:6s}",
+                f"{wl_name} split d={depth:2d}        ",
             )
-            bits = np.asarray(out).reshape(-1)[: nw // eng.block]
-            ok = bits.astype(bool).tolist() == split_bits.astype(bool).tolist()
-            print(f"    fused[{lookup}] == split: {ok}", flush=True)
-            assert ok
-
-# end-to-end hit-dense at each depth (engine replay incl. region recompute)
-print("--- end-to-end hit-dense record_stream+replay", flush=True)
-codes_shape = np.zeros(n_bp, dtype=np.int8)
-for depth in DEPTHS:
-    e = S.ScanEngine(profile.sum_kfv, k=k, ws=ws, r=r, bound_depth=depth)
-
-    def full(e=e):
-        d0, st, _ = e.record_stream(codes_shape, thr, codes_dev=prep_dense)
-        return replay_single(st, d0, thr, k, ws, n_bp, 50), len(st)
-
-    hits, n_cand = full()  # warmup compiles
-    best = float("inf")
-    for _i in range(3):
-        t0 = time.perf_counter()
-        (hits, n_cand) = full()
-        best = min(best, time.perf_counter() - t0)
-    print(
-        f"e2e dense d={depth:2d}: {best*1e3:7.1f} ms ({n_bp/best/1e6:5.0f} Mbp/s) "
-        f"{n_cand} candidates -> {len(hits)} hits", flush=True,
-    )
+            split_bits = np.asarray(split).reshape(-1)[: nw // eng.block]
+            l0 = S._first_window_l0(prep.dev, eng.s_dev, k=k, ws=ws, r=r, depth=depth)
+            meta = jnp.stack([jnp.int32(thr_int), l0.astype(jnp.int32), jnp.int32(nw)])
+            for lookup in LOOKUPS:
+                try:
+                    out, _ = timeit(
+                        lambda lk=lookup, d=depth: fused_record_bitmaps(
+                            prep.dev, eng.s_dev, meta, k=k, ws=ws, r=r, depth=d,
+                            t=t, block=eng.block, n_tiles=n_tiles, lookup=lk,
+                        ),
+                        f"{wl_name} fused d={depth:2d} {lookup:6s}",
+                    )
+                except Exception as e:  # Mosaic compile errors recorded, not fatal
+                    print(f"{wl_name} fused d={depth:2d} {lookup:6s}: FAILED "
+                          f"{type(e).__name__}: {str(e).splitlines()[0][:120]}", flush=True)
+                    continue
+                bits = np.asarray(out).reshape(-1)[: nw // eng.block]
+                ok = bits.astype(bool).tolist() == split_bits.astype(bool).tolist()
+                print(f"    fused[{lookup}] == split: {ok}", flush=True)
+                assert ok
