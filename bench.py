@@ -166,16 +166,23 @@ def _plant_genes_device(prep, ref_records, n_bp: int, spacing: int):
     if positions.size == 0:
         return prep, 0
     patch = jnp.asarray(genes[np.arange(len(positions)) % len(ref_records)])
-    pos_dev = jnp.asarray(positions)
 
+    # STATIC concat construction (positions are host constants): a graph of
+    # ~2*len(positions) static slices + one concatenate compiles through the
+    # remote relay in seconds, where a fori_loop of dynamic_update_slices
+    # over the genome-sized carry was measured at ~10 minutes per process.
     @jax.jit
-    def plant(dev, patch, pos):
-        def body(i, d):
-            return jax.lax.dynamic_update_slice(d, patch[i], (pos[i],))
+    def plant(dev, patch):
+        pieces = []
+        cur = 0
+        for i, p in enumerate(positions.tolist()):
+            pieces.append(jax.lax.slice(dev, (cur,), (p,)))
+            pieces.append(patch[i])
+            cur = p + glen
+        pieces.append(jax.lax.slice(dev, (cur,), (dev.shape[0],)))
+        return jnp.concatenate(pieces)
 
-        return jax.lax.fori_loop(0, pos.shape[0], body, dev)
-
-    return PreparedCodes(plant(prep.dev, patch, pos_dev), prep.n_spans), len(positions)
+    return PreparedCodes(plant(prep.dev, patch), prep.n_spans), len(positions)
 
 
 def _time_best(fn, repeats: int = 3) -> float:
