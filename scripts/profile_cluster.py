@@ -23,7 +23,7 @@ from kmergma_tpu.models.state_machine import OmnHitEvent, replay_omn  # noqa: E4
 from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params, gen_ref_ws_cons  # noqa: E402
 from kmergma_tpu.ops.scan_cluster import ClusterScanEngine, _cluster_record_bitmaps  # noqa: E402
 from kmergma_tpu.ops.scan import profile_lookup_multi  # noqa: E402
-from kmergma_tpu.ops.scan_pallas import codes_pair_roll_multi  # noqa: E402
+from kmergma_tpu.ops.scan_pallas import codes_pair_multi, codes_pair_roll_multi  # noqa: E402
 from kmergma_tpu.utils.fasta import as_records  # noqa: E402
 
 from bench import _device_random_genome, _plant_genes_device  # noqa: E402
@@ -76,21 +76,31 @@ ws_tuple = tuple(g[0] for g in ceng.groups)
 depth = ceng.groups[0][1]
 
 (ab_multi, kcodes), _ = t(
-    f"A. codes_pair_roll_multi (1 span, G={len(ws_tuple)})",
+    f"A1. codes_pair_roll_multi (1 span, G={len(ws_tuple)})",
     lambda: codes_pair_roll_multi(span_codes, 6, ws_tuple, span - 1, span + max_w - 1, depth),
 )
+_ = t(
+    f"A2. codes_pair_multi static-unroll (1 span)",
+    lambda: codes_pair_multi(span_codes, 6, ws_tuple, span - 1, span + max_w - 1, depth),
+)
 kc = jax.lax.slice(kcodes, (0,), (span + max_w - 1,))
-_, _tl = t("B. profile_lookup_multi (1 span, m profiles)", lambda: profile_lookup_multi(kc, ceng.s_stack))
+# MUST be jitted: eagerly the one-hot/select intermediates materialize (tens
+# of GB); under jit XLA fuses them into the dot and they never exist
+lookup_jit = jax.jit(profile_lookup_multi)
+_, _tl = t("B. profile_lookup_multi (1 span, m profiles)", lambda: lookup_jit(kc, ceng.s_stack))
 
-# full fused bitmap pass (all spans)
-def bitmaps_fn():
+# full fused bitmap pass (all spans), both pair-kernel variants
+def bitmaps_fn(pk="roll"):
     return _cluster_record_bitmaps(
         prep.dev, nv_dev, ceng.s_stack, thr_dev, k=6, span=ceng.chunk,
         block=ceng.block, n_spans=prep.n_spans, use_pallas=ceng.use_pallas,
-        groups=ceng.groups,
+        groups=ceng.groups, pair_kernel=pk,
     )
 
-bm, t_bm = t(f"C. full cluster bitmap pass ({prep.n_spans} spans)", bitmaps_fn)
+bm, t_bm = t(f"C1. cluster bitmap pass roll ({prep.n_spans} spans)", bitmaps_fn)
+bm2, t_bm2 = t(f"C2. cluster bitmap pass unroll", lambda: bitmaps_fn("unroll"))
+assert np.asarray(bm).tolist() == np.asarray(bm2).tolist(), "kernel variants disagree"
+t_bm = min(t_bm, t_bm2)
 
 # stream assembly + replay (the rest of record_streams)
 def streams_fn():
