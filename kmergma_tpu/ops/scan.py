@@ -437,6 +437,30 @@ def _scan_regions_dense(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regi
     return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
+@partial(jax.jit, static_argnames=("k", "rspan", "specs", "use_pallas"))
+def _scan_regions_dense_multi(codes_dev, starts_flat, s_stack, *, k, rspan, specs, use_pallas):
+    """Exact region distances for ALL m clusters: ONE device call, ONE fetch.
+
+    ``specs`` is a static tuple of (ws, r, n_regions) per cluster;
+    ``starts_flat`` concatenates each cluster's padded starts in spec order.
+    Returns a flat int32[sum_c n_regions_c * rspan] (cluster c's rows at
+    offset sum_{c'<c} n_regions_c' * rspan, row-major) so the host pays one
+    D2H transfer for every cluster's region recompute instead of m - the m
+    separate fetch round trips were the largest cluster-mode cost on the
+    remote TPU (r3 profile: 446 ms of an 832 ms record vs 353 ms compute).
+    """
+    outs = []
+    off = 0
+    for ci, (ws, r, n_regions) in enumerate(specs):
+        starts = jax.lax.slice(starts_flat, (off,), (off + n_regions,))
+        rows = jax.vmap(
+            lambda s, ws=ws: jax.lax.dynamic_slice(codes_dev, (s,), (rspan + ws - 1,))
+        )(starts)
+        outs.append(_scan_rows_d(rows, s_stack[ci], k, ws, r, use_pallas).reshape(-1))
+        off += n_regions
+    return jnp.concatenate(outs)
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
 def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_pallas):
     """Dense region fetch over PRE-SLICED rows (the sharded-engine variant:
@@ -602,7 +626,7 @@ class ScanEngine:
             self._nv_cache[nw] = dev
         return dev
 
-    def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None) -> PreparedCodes:
+    def prepare_codes(self, codes: np.ndarray, max_ws: int | None = None, fused_ws: int | None = None) -> PreparedCodes:
         """One H2D transfer of a record, padded for regular-span slicing.
 
         Codes cross the host->device link packed 4 bases/byte (the link is
@@ -620,13 +644,16 @@ class ScanEngine:
         # may start just below nw and extend rspan windows (dynamic_slice
         # would otherwise clamp and silently misattribute windows)
         total = n_spans * self.chunk + self.rspan + (max_ws if max_ws is not None else self.ws) + 1
-        if self.use_fused:
+        if fused_ws is None and self.use_fused:
+            fused_ws = self.ws
+        if fused_ws is not None:
             # the fused kernel tiles nw up to ROWS x t windows and reads one
-            # tile + halo beyond (see _fused_bitmaps_handle)
+            # tile + halo beyond (see _fused_bitmaps_handle; the cluster
+            # engine passes its max windowsize via ``fused_ws``)
             from .scan_fused import ROWS as FROWS
 
             t = 8192
-            w = self.ws - self.k + 1
+            w = fused_ws - self.k + 1
             hw = -(-(w + 1) // 128) * 128 + 128
             n_tiles = -(-(-(-n // t)) // FROWS) * FROWS
             total = max(total, n_tiles * t + t + hw)
@@ -852,23 +879,7 @@ class ScanEngine:
         bins around them.
         """
         thr_int = self._thr_int(thr)
-        block = self.block
-
-        # active blocks, expanded one block right (covers every rising edge)
-        active = bitmaps.copy()
-        active[1:] |= bitmaps[:-1]
-        active[0] = True  # window 0 (dist0)
-
-        rspan = min(self.chunk, self.rspan)
-        starts: list[int] = []
-        cover_end = 0  # windows covered so far (exclusive)
-        for b in np.nonzero(active)[0]:
-            lo = max(int(b) * block, cover_end)
-            hi = min((int(b) + 1) * block, nw)
-            while lo < hi:
-                starts.append(lo)
-                cover_end = lo + rspan
-                lo = cover_end
+        starts, rspan = self._plan_starts(bitmaps, nw)
         n_regions = _span_bucket(len(starts))
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
@@ -885,6 +896,28 @@ class ScanEngine:
             "nw": nw, "thr_int": thr_int, "starts": starts, "rspan": rspan,
         }
 
+    def _plan_starts(self, bitmaps: np.ndarray, nw: int) -> tuple[list[int], int]:
+        """Region planning: starts of rspan-window regions TILING the runs
+        of active blocks (adjacent within a run, disjoint always), so the
+        exact O(W)/bp recompute covers ~the active windows only."""
+        block = self.block
+        # active blocks, expanded one block right (covers every rising edge)
+        active = bitmaps.copy()
+        active[1:] |= bitmaps[:-1]
+        active[0] = True  # window 0 (dist0)
+
+        rspan = min(self.chunk, self.rspan)
+        starts: list[int] = []
+        cover_end = 0  # windows covered so far (exclusive)
+        for b in np.nonzero(active)[0]:
+            lo = max(int(b) * block, cover_end)
+            hi = min((int(b) + 1) * block, nw)
+            while lo < hi:
+                starts.append(lo)
+                cover_end = lo + rspan
+                lo = cover_end
+        return starts, rspan
+
     def _assemble_finish(self, plan: dict):
         """Phase 2: fetch the region distances (ONE transfer) and assemble
         the exact candidate stream (re-dispatching once on a transport
@@ -898,6 +931,11 @@ class ScanEngine:
             d_all = np.asarray(plan["handles"])
         except jax.errors.JaxRuntimeError:
             d_all = _with_retry(lambda: np.asarray(plan["dispatch"]()))
+        return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
+
+    def _stream_from_region_dists(self, d_all: np.ndarray, starts: list[int], rspan: int, nw: int, thr_int) -> tuple[float, list[tuple[int, float]]]:
+        """Assemble (dist0, sorted candidate stream) from fetched region
+        distance rows d_all[i] = D[starts[i] : starts[i] + rspan]."""
         if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
         dist0 = float(d_all[0, 0]) / self.scale

@@ -180,6 +180,7 @@ class ClusterScanEngine:
         use_pallas: bool | None = None,
         bound_depth: int | None = 16,
         pair_kernel: str = "roll",
+        use_fused: bool | None = None,
     ):
         self.k = k
         self.pair_kernel = pair_kernel
@@ -211,9 +212,64 @@ class ClusterScanEngine:
         )
         self.s_stack = jnp.stack([e.s_dev for e in self.engines])
         self._small_cache: dict = {}
+        depths = {g[1] for g in self.groups}
+        if use_fused is None:
+            # the fused multi-cluster Mosaic kernel (scan_cluster_fused.py)
+            # replaces the whole split span pass on TPU; same availability
+            # rules as the single-profile fused kernel (uniform depth <= 16,
+            # square-decomposable table), KMERGMA_FUSED=0 opts out
+            import os
+
+            use_fused = (
+                os.environ.get("KMERGMA_FUSED", "") != "0"
+                and jax.default_backend() == "tpu"
+                and 4**k <= 4096
+                and len(depths) == 1
+                and next(iter(depths)) <= 16
+            )
+        self.use_fused = use_fused and self.use_pallas and len(depths) == 1
+        #: minimum max-cluster window count for the fused kernel (tiny
+        #: records are cheaper through the split pass; tests lower this)
+        self.fused_min_windows = 1 << 16
 
     def prepare_codes(self, codes: np.ndarray):
-        return self.engines[0].prepare_codes(codes, max_ws=self.max_ws)
+        return self.engines[0].prepare_codes(
+            codes, max_ws=self.max_ws,
+            fused_ws=self.max_ws if self.use_fused else None,
+        )
+
+    def _fused_cluster_bitmaps(self, prep, n_valids, thr_ints) -> np.ndarray:
+        """Whole-record fused pass: returns bool[m, n_blocks] bitmaps."""
+        from .scan import _first_window_l0
+        from .scan_cluster_fused import fused_cluster_record_bitmaps
+        from .scan_fused import ROWS as FROWS
+
+        t = 8192
+        depth = self.groups[0][1]
+        nw_max = int(n_valids.max())
+        n_tiles = -(-(-(-nw_max // t)) // FROWS) * FROWS
+        l0s = [
+            _first_window_l0(prep.dev, e.s_dev, k=self.k, ws=e.ws, r=e.r, depth=depth)
+            for e in self.engines
+        ]
+        key = ("meta", tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
+        small = self._small_cache.get(key)
+        if small is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
+            self._small_cache[key] = small
+        meta = jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+        specs = tuple((e.ws - self.k + 1, e.r) for e in self.engines)
+        out = np.asarray(
+            fused_cluster_record_bitmaps(
+                prep.dev, self.s_stack, meta,
+                k=self.k, specs=specs, depth=depth, t=t, block=self.block,
+                n_tiles=n_tiles,
+            )
+        )  # (n_tiles, m * (t // block))
+        m = len(self.engines)
+        return out.reshape(out.shape[0], m, t // self.block).transpose(1, 0, 2).reshape(m, -1)
 
     def record_streams(
         self, codes: np.ndarray, thrs: list[float], codes_dev=None
@@ -233,36 +289,78 @@ class ClusterScanEngine:
         thr_ints = np.array(
             [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
         )
-        # cache the two small per-record device arrays (high per-transfer
-        # latency on remote TPUs; most genomes repeat a few record lengths)
-        key = (tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
-        devs = self._small_cache.get(key)
-        if devs is None:
-            if len(self._small_cache) > 64:
-                self._small_cache.clear()
-            devs = (jnp.asarray(n_valids), jnp.asarray(thr_ints))
-            self._small_cache[key] = devs
-        bitmaps = _with_retry(
+        if self.use_fused and int(n_valids.max()) >= self.fused_min_windows:
+            by_cluster = _with_retry(
+                lambda: self._fused_cluster_bitmaps(prep, n_valids, thr_ints)
+            )
+        else:
+            # cache the two small per-record device arrays (high per-transfer
+            # latency on remote TPUs; most genomes repeat a few record lengths)
+            key = (tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
+            devs = self._small_cache.get(key)
+            if devs is None:
+                if len(self._small_cache) > 64:
+                    self._small_cache.clear()
+                devs = (jnp.asarray(n_valids), jnp.asarray(thr_ints))
+                self._small_cache[key] = devs
+            bitmaps = _with_retry(
+                lambda: np.asarray(
+                    _cluster_record_bitmaps(
+                        prep.dev,
+                        devs[0],
+                        self.s_stack,
+                        devs[1],
+                        k=self.k,
+                        span=self.chunk,
+                        block=self.block,
+                        n_spans=prep.n_spans,
+                        use_pallas=self.use_pallas,
+                        groups=self.groups,
+                        pair_kernel=self.pair_kernel,
+                    )
+                )
+            )  # (n_spans, m, blocks)
+            by_cluster = [bitmaps[:, ci, :].reshape(-1) for ci in range(len(self.engines))]
+        return self._streams_from_bitmaps(prep, by_cluster, n_valids, thr_ints, thrs)
+
+    def _streams_from_bitmaps(self, prep, by_cluster, n_valids, thr_ints, thrs):
+        """COMBINED region recompute for all m clusters: one device call and
+        one D2H fetch (the m separate per-cluster fetch round trips were the
+        largest cluster-mode cost on the remote TPU - r3 profile: 446 ms of
+        an 832 ms record vs 353 ms of bitmap compute)."""
+        from .scan import _scan_regions_dense_multi, _span_bucket
+
+        e0 = self.engines[0]
+        rspan = min(e0.chunk, e0.rspan)
+        all_starts: list[list[int]] = []
+        specs: list[tuple[int, int, int]] = []
+        for ci, eng in enumerate(self.engines):
+            starts, _ = eng._plan_starts(np.asarray(by_cluster[ci]), int(n_valids[ci]))
+            all_starts.append(starts)
+            specs.append((eng.ws, eng.r, _span_bucket(len(starts))))
+        starts_flat = np.zeros(sum(s[2] for s in specs), dtype=np.int32)
+        off = 0
+        for starts, spec in zip(all_starts, specs):
+            starts_flat[off : off + len(starts)] = starts
+            off += spec[2]
+
+        d_flat = _with_retry(
             lambda: np.asarray(
-                _cluster_record_bitmaps(
-                    prep.dev,
-                    devs[0],
-                    self.s_stack,
-                    devs[1],
-                    k=self.k,
-                    span=self.chunk,
-                    block=self.block,
-                    n_spans=prep.n_spans,
+                _scan_regions_dense_multi(
+                    prep.dev, jnp.asarray(starts_flat), self.s_stack,
+                    k=self.k, rspan=rspan, specs=tuple(specs),
                     use_pallas=self.use_pallas,
-                    groups=self.groups,
-                    pair_kernel=self.pair_kernel,
                 )
             )
-        )  # (n_spans, m, blocks)
-        # two-phase assembly: dispatch every cluster's region fetch first,
-        # then fetch - the m round-trip latencies overlap instead of summing
-        plans = [
-            eng._assemble_plan(prep, int(n_valids[ci]), thr, bitmaps[:, ci, :].reshape(-1))
-            for ci, (eng, thr) in enumerate(zip(self.engines, thrs))
-        ]
-        return [eng._assemble_finish(p) for eng, p in zip(self.engines, plans)]
+        )
+        out = []
+        off = 0
+        for ci, (eng, starts, spec) in enumerate(zip(self.engines, all_starts, specs)):
+            d_all = d_flat[off : off + spec[2] * rspan].reshape(spec[2], rspan)
+            off += spec[2] * rspan
+            out.append(
+                eng._stream_from_region_dists(
+                    d_all, starts, rspan, int(n_valids[ci]), int(thr_ints[ci])
+                )
+            )
+        return out

@@ -1,0 +1,228 @@
+"""Fully-fused multi-cluster Mosaic kernel: raw codes in, ALL m cluster
+activity bitmaps out.
+
+The split cluster pass (ops/scan_cluster._cluster_record_bitmaps) is
+dominated by the m-profile XLA lookup and the per-cluster delta/cumsum
+tails, whose genome-length intermediates churn HBM (r3 profile: 177 ms per
+33.5M-window span at m=6 vs ~30 ms for the single-profile fused kernel).
+This kernel keeps the whole pass on-core, per grid step (ROWS tiles):
+
+  1. rolling K-code build from int8 codes (as scan_fused);
+  2. ONE shared compare stream per depth serving every windowsize group's
+     pair deltas (1 compare + G+1 adds per depth - scan_pallas
+     _codes_pair_multi_kernel's trick) plus the leaving accumulator;
+  3. g_c = S_c[K] for ALL m profiles via a lane-chunked one-hot MXU matmul
+     against the row-stacked pre-transposed table T2[(c, u), h] =
+     S_c[half*h + u]: one (m*half, half) @ (half, C) dot per lane chunk
+     per sublane row, then a log2(half)-round bit-halving select per
+     cluster face (f32 exact: every product is 0/1 * S, one nonzero term
+     per sum - ops.scan.profile_lookup's argument);
+  4. per-cluster exact scaled lower-bound deltas, in-lane cumsum
+     (log-shift rolls) and cross-row/-step absolute base chaining with an
+     SMEM carry PER CLUSTER;
+  5. per-cluster threshold + validity mask (per-cluster window counts -
+     windowsizes differ) + per-block any() bitmaps.
+
+Bound values are BIT-IDENTICAL to scan.scan_window_lower_bounds per
+cluster, so the bitmaps equal the split cluster pass's exactly
+(tests/test_cluster_fused.py; ablated on the real v5e).
+
+Used by ClusterScanEngine on TPU when every cluster shares one bound depth
+(mixed clamped depths fall back to the split pass).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan_fused import ROWS, _masked_shift_cumsum, _sublane_inclusive_cumsum
+
+#: lane-chunk width of the in-kernel multi-table lookup (bounds the
+#: (m*half, CHUNK) f32 sel temp to ~3 MB at m=6, half=64)
+CHUNK = 2048
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int):
+    """g[c][r, i] = S_c[kcodes[r, i]] for all m profiles.
+
+    t2_ref: (m*half, half) f32 row-stacked pre-transposed tables.
+    Returns a list of m int32 arrays shaped like ``kcodes``.
+    """
+    rows, lk = kcodes.shape
+    hi = kcodes // half
+    lo = kcodes % half
+    t2 = t2_ref[:, :]
+    out_rows = [[] for _ in range(m)]
+    n_chunks = -(-lk // CHUNK)
+    for rr in range(rows):
+        for ch in range(n_chunks):
+            s = ch * CHUNK
+            e = min(lk, s + CHUNK)
+            hic = hi[rr : rr + 1, s:e]
+            loc = lo[rr : rr + 1, s:e]
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (half, e - s), 0) == hic
+            ).astype(jnp.float32)
+            sel_all = jax.lax.dot_general(
+                t2, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (m*half, C): sel_all[c*half+u, i] = S_c[half*hi[i] + u]
+            for c in range(m):
+                sel = sel_all[c * half : (c + 1) * half, :]
+                h = half // 2
+                while h >= 1:
+                    take_hi = (loc & h) != 0
+                    sel = jnp.where(take_hi, sel[h : 2 * h, :], sel[:h, :])
+                    h //= 2
+                out_rows[c].append(sel.astype(jnp.int32))
+    n_per_row = n_chunks
+    return [
+        jnp.concatenate(
+            [
+                jnp.concatenate(chunks[rr * n_per_row : (rr + 1) * n_per_row], axis=1)
+                for rr in range(rows)
+            ],
+            axis=0,
+        )
+        for chunks in out_rows
+    ]
+
+
+def _fused_cluster_kernel(
+    main_ref, halo_ref, t2_ref, meta_ref, bitmap_ref, carry_ref,
+    *, k: int, specs: tuple, t: int, depth: int, block: int, half: int,
+):
+    """One grid step: ROWS consecutive tiles of t transitions, all clusters.
+
+    specs: static tuple of (w_c, r_c) per cluster (w_c = ws_c - k + 1).
+    meta_ref (SMEM): [nw_0..nw_{m-1}, thr_0..thr_{m-1}, l0_0..l0_{m-1}].
+    bitmap_ref: (ROWS, m * (t // block)) int32; cluster c's blocks at
+    columns [c * t//block, (c+1) * t//block).
+    carry_ref (SMEM): int32[m] running absolute L per cluster.
+    """
+    m = len(specs)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for c in range(m):
+            carry_ref[c] = meta_ref[2 * m + c]
+
+    codes = jnp.concatenate(
+        [main_ref[:, :].astype(jnp.int32), halo_ref[:, :].astype(jnp.int32)], axis=1
+    )
+    lc = codes.shape[1]
+    lk = lc - k + 1  # K lanes; needs lk >= t + max(w)
+    kcodes = codes[:, :lk] << (2 * (k - 1))
+    for j in range(1, k):
+        kcodes = kcodes + (codes[:, j : j + lk] << (2 * (k - 1 - j)))
+
+    # --- shared pair stream per depth, per-GROUP entering accumulators ---
+    ws_groups = sorted({w for w, _r in specs})
+    a_acc = {w: jnp.zeros((ROWS, t), dtype=jnp.int32) for w in ws_groups}
+    b_acc = jnp.zeros((ROWS, t), dtype=jnp.int32)
+    for d in range(1, depth + 1):
+        eq = (kcodes[:, : lk - d] == kcodes[:, d:lk]).astype(jnp.int32)
+        b_acc = b_acc + eq[:, :t]
+        for w in ws_groups:
+            a_acc[w] = a_acc[w] + eq[:, w - d : w - d + t]
+
+    # --- all m profile projections in one chunked MXU pass ---
+    g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m)
+
+    # --- per-cluster delta, cumsum, carry chain, bitmap ---
+    tb = t // block
+    for c, (w, r) in enumerate(specs):
+        g = g_all[c]
+        ab = a_acc[w] - b_acc
+        delta = jnp.int32(2 * r * r) * ab + jnp.int32(2 * r) * (
+            g[:, :t] - g[:, w : w + t]
+        )
+        csum = _masked_shift_cumsum(delta, t)
+        row_tot = csum[:, t - 1 : t]
+        inc = _sublane_inclusive_cumsum(row_tot)
+        excl = inc - row_tot
+
+        base = carry_ref[c]
+        l_first = base + excl
+        l_rest = l_first + csum
+        thr = meta_ref[m + c]
+        below_first = (l_first < thr).astype(jnp.int32)
+        below_rest = (l_rest < thr).astype(jnp.int32)
+        below = jnp.concatenate([below_first, below_rest[:, : t - 1]], axis=1)
+
+        pos = (
+            (step * ROWS) * t
+            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 0) * t
+            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 1)
+        )
+        below = jnp.where(pos < meta_ref[c], below, 0)
+        bitmap_ref[:, c * tb : (c + 1) * tb] = below.reshape(ROWS, tb, block).max(axis=2)
+        carry_ref[c] = base + inc[ROWS - 1, 0]
+
+
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "interpret"))
+def fused_cluster_record_bitmaps(
+    codes_dev: jnp.ndarray,
+    s_stack: jnp.ndarray,
+    meta: jnp.ndarray,
+    *,
+    k: int,
+    specs: tuple,
+    depth: int,
+    t: int = 8192,
+    block: int = 512,
+    n_tiles: int,
+    interpret: bool | None = None,
+):
+    """Whole-record fused multi-cluster bitmap pass.
+
+    codes_dev: int8[>= n_tiles*t + t + hw] unpacked record codes.
+    s_stack: int32[m, 4^k] summed profiles.  meta: int32[3m] =
+    [nw_c..., thr_c..., l0_c...].  specs: static ((w_c, r_c), ...).
+    Returns int32[n_tiles, m * (t // block)].
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    m, nbins = s_stack.shape
+    half = 1 << (nbins.bit_length() // 2)
+    assert half * half == nbins, "multi lookup needs a square-decomposable table"
+    max_w = max(w for w, _r in specs)
+    hw = -(-(max_w + 1) // 128) * 128 + 128
+    main = codes_dev[: n_tiles * t].reshape(n_tiles, t)
+    halo = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
+    )(jnp.arange(n_tiles))
+    # T2[(c, u), h] = S_c[half*h + u]: row-stack of pre-transposed tables
+    t2 = jnp.transpose(
+        s_stack.reshape(m, half, half).astype(jnp.float32), (0, 2, 1)
+    ).reshape(m * half, half)
+    grid = (n_tiles // ROWS,)
+    return pl.pallas_call(
+        partial(
+            _fused_cluster_kernel,
+            k=k, specs=specs, t=t, depth=depth, block=block, half=half,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m * (t // block)), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS, m * (t // block)), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SMEM((len(specs),), jnp.int32)],
+        interpret=interpret,
+    )(main, halo, t2, meta)
