@@ -231,6 +231,9 @@ class ClusterScanEngine:
         #: minimum max-cluster window count for the fused kernel (tiny
         #: records are cheaper through the split pass; tests lower this)
         self.fused_min_windows = 1 << 16
+        #: in-kernel lookup precision: "bf16" 8-bit-limb split (exact, 4x
+        #: MXU rate on v5e) or "f32" (see scan_cluster_fused)
+        self.lookup_dtype = "bf16"
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(
@@ -265,7 +268,7 @@ class ClusterScanEngine:
             fused_cluster_record_bitmaps(
                 prep.dev, self.s_stack, meta,
                 k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-                n_tiles=n_tiles,
+                n_tiles=n_tiles, lookup_dtype=self.lookup_dtype,
             )
         )  # (n_tiles, m * (t // block))
         m = len(self.engines)

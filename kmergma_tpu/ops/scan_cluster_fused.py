@@ -52,16 +52,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int):
+def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f32"):
     """g[c][r, i] = S_c[kcodes[r, i]] for all m profiles.
 
-    t2_ref: (m*half, half) f32 row-stacked pre-transposed tables.
-    Returns a list of m int32 arrays shaped like ``kcodes``.
+    t2_ref: row-stacked pre-transposed tables - (m*half, half) f32, or
+    (2*m*half, half) bf16 holding the 8-bit hi/lo limbs of every table
+    (``lookup_dtype="bf16"``: bf16 runs the MXU at 4x the f32 rate on v5e;
+    limbs < 256 are bf16-exact, 0/1 one-hots are exact, and the MXU
+    accumulates in f32, so 256*hi + lo reconstructs S exactly - the
+    headroom guard bounds |S| < 2^16).  Returns m int32 arrays shaped like
+    ``kcodes``.
     """
     rows, lk = kcodes.shape
     hi = kcodes // half
     lo = kcodes % half
     t2 = t2_ref[:, :]
+    oh_dtype = jnp.bfloat16 if lookup_dtype == "bf16" else jnp.float32
     out_rows = [[] for _ in range(m)]
     n_chunks = -(-lk // CHUNK)
     for rr in range(rows):
@@ -72,12 +78,14 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int):
             loc = lo[rr : rr + 1, s:e]
             oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (half, e - s), 0) == hic
-            ).astype(jnp.float32)
+            ).astype(oh_dtype)
             sel_all = jax.lax.dot_general(
                 t2, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (m*half, C): sel_all[c*half+u, i] = S_c[half*hi[i] + u]
+            )  # f32 (m*half | 2*m*half, C): sel_all[c*half+u, i] = limb_c[half*hi[i] + u]
             for c in range(m):
                 sel = sel_all[c * half : (c + 1) * half, :]
+                if lookup_dtype == "bf16":
+                    sel = 256.0 * sel + sel_all[(m + c) * half : (m + c + 1) * half, :]
                 h = half // 2
                 while h >= 1:
                     take_hi = (loc & h) != 0
@@ -100,6 +108,7 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int):
 def _fused_cluster_kernel(
     main_ref, halo_ref, t2_ref, meta_ref, bitmap_ref, carry_ref,
     *, k: int, specs: tuple, t: int, depth: int, block: int, half: int,
+    lookup_dtype: str = "f32",
 ):
     """One grid step: ROWS consecutive tiles of t transitions, all clusters.
 
@@ -137,7 +146,7 @@ def _fused_cluster_kernel(
             a_acc[w] = a_acc[w] + eq[:, w - d : w - d + t]
 
     # --- all m profile projections in one chunked MXU pass ---
-    g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m)
+    g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m, lookup_dtype)
 
     # --- per-cluster delta, cumsum, carry chain, bitmap ---
     tb = t // block
@@ -170,7 +179,7 @@ def _fused_cluster_kernel(
         carry_ref[c] = base + inc[ROWS - 1, 0]
 
 
-@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "interpret"))
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "interpret", "lookup_dtype"))
 def fused_cluster_record_bitmaps(
     codes_dev: jnp.ndarray,
     s_stack: jnp.ndarray,
@@ -183,6 +192,7 @@ def fused_cluster_record_bitmaps(
     block: int = 512,
     n_tiles: int,
     interpret: bool | None = None,
+    lookup_dtype: str = "f32",
 ):
     """Whole-record fused multi-cluster bitmap pass.
 
@@ -203,21 +213,30 @@ def fused_cluster_record_bitmaps(
         lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
     )(jnp.arange(n_tiles))
     # T2[(c, u), h] = S_c[half*h + u]: row-stack of pre-transposed tables
-    t2 = jnp.transpose(
+    t2f = jnp.transpose(
         s_stack.reshape(m, half, half).astype(jnp.float32), (0, 2, 1)
     ).reshape(m * half, half)
+    if lookup_dtype == "bf16":
+        # 8-bit limb split (see _mxu_multi_lookup); requires 0 <= S < 2^16,
+        # guaranteed by check_int32_headroom for integer summed profiles
+        t2 = jnp.concatenate(
+            [jnp.floor(t2f / 256.0), jnp.mod(t2f, 256.0)]
+        ).astype(jnp.bfloat16)
+    else:
+        t2 = t2f
     grid = (n_tiles // ROWS,)
     return pl.pallas_call(
         partial(
             _fused_cluster_kernel,
             k=k, specs=specs, t=t, depth=depth, block=block, half=half,
+            lookup_dtype=lookup_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, m * (t // block)), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2.shape[0], half), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(

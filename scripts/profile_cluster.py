@@ -102,6 +102,18 @@ bm2, t_bm2 = t(f"C2. cluster bitmap pass unroll", lambda: bitmaps_fn("unroll"))
 assert np.asarray(bm).tolist() == np.asarray(bm2).tolist(), "kernel variants disagree"
 t_bm = min(t_bm, t_bm2)
 
+# fused multi-cluster kernel, both lookup precisions
+if ceng.use_fused:
+    split_by_c = np.transpose(np.asarray(bm), (1, 0, 2)).reshape(m, -1)
+    n_blocks = -(-int(n_valids.max()) // ceng.block)
+    for ld in ("f32", "bf16"):
+        ceng.lookup_dtype = ld
+        fb, t_f = t(f"C3. fused cluster kernel {ld}", lambda: ceng._fused_cluster_bitmaps(prep, n_valids, thr_ints))
+        for c in range(m):
+            assert fb[c][:n_blocks].astype(bool).tolist() == split_by_c[c][:n_blocks].astype(bool).tolist(), f"cluster {c} {ld}"
+    print("   fused == split bitmaps: True", flush=True)
+    ceng.lookup_dtype = "bf16"
+
 # stream assembly + replay (the rest of record_streams)
 def streams_fn():
     return ceng.record_streams(dcodes_shape, thrs, codes_dev=prep)

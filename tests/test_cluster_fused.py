@@ -65,20 +65,22 @@ def test_fused_cluster_bitmaps_match_split(clusters):
         [jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32)), l0s.astype(jnp.int32)]
     )
     specs = tuple((e.ws - 6 + 1, e.r) for e in eng.engines)
-    fused = np.asarray(
-        fused_cluster_record_bitmaps(
-            prep.dev, eng.s_stack, meta, k=6, specs=specs, depth=depth,
-            t=t, block=block, n_tiles=n_tiles, interpret=True,
-        )
-    )
     m = len(eng.engines)
-    fused_by_c = fused.reshape(fused.shape[0], m, t // block).transpose(1, 0, 2).reshape(m, -1)
     split_by_c = np.transpose(split, (1, 0, 2)).reshape(m, -1)
     n_blocks = -(-nw_max // block)
-    for c in range(m):
-        got = fused_by_c[c, :n_blocks].astype(bool)
-        want = split_by_c[c, :n_blocks].astype(bool)
-        assert got.tolist() == want.tolist(), f"cluster {c}"
+    for lookup_dtype in ("f32", "bf16"):
+        fused = np.asarray(
+            fused_cluster_record_bitmaps(
+                prep.dev, eng.s_stack, meta, k=6, specs=specs, depth=depth,
+                t=t, block=block, n_tiles=n_tiles, interpret=True,
+                lookup_dtype=lookup_dtype,
+            )
+        )
+        fused_by_c = fused.reshape(fused.shape[0], m, t // block).transpose(1, 0, 2).reshape(m, -1)
+        for c in range(m):
+            got = fused_by_c[c, :n_blocks].astype(bool)
+            want = split_by_c[c, :n_blocks].astype(bool)
+            assert got.tolist() == want.tolist(), f"cluster {c} ({lookup_dtype})"
 
 
 def test_cluster_engine_fused_stream_equality(clusters):
