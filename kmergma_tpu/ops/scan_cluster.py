@@ -231,9 +231,11 @@ class ClusterScanEngine:
         #: minimum max-cluster window count for the fused kernel (tiny
         #: records are cheaper through the split pass; tests lower this)
         self.fused_min_windows = 1 << 16
-        #: in-kernel lookup precision: "bf16" 8-bit-limb split (exact, 4x
-        #: MXU rate on v5e) or "f32" (see scan_cluster_fused)
-        self.lookup_dtype = "bf16"
+        #: in-kernel lookup precision.  Both exact; measured on v5e
+        #: (64 Mbp, m=6): f32 158.7 ms vs bf16 limb-split 204.8 ms - the
+        #: (m*half, half) dots are layout/latency-bound, not FLOP-bound, so
+        #: the doubled-M bf16 dot + limb recombine LOSES; f32 is default
+        self.lookup_dtype = "f32"
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(
