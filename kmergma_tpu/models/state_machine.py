@@ -182,6 +182,12 @@ def replay_omn(
     resets that cluster's curr_mins to the edge distance,
     OmnGenomeMiner.jl:153).  Rejected hits do NOT reset curr_mins.
 
+    Stays element-by-element (unlike replay_single's run segmentation):
+    acceptance feeds back into per-cluster state, so runs cannot be
+    pre-collapsed without replicating the process() decision - and the
+    measured cost is small (34 ms for 185k merged events at m=6, ~7% of a
+    cluster record; revisit only if multi-Gbp cluster replays dominate).
+
     Streams must already be bounded to i <= imax = seq_len - max(ws) - k + 2.
     """
     m = len(streams)

@@ -77,8 +77,12 @@ def _span_bitmaps(codes_span, pos, s_stack, thr_ints, n_valids, s2, *, k, block,
         # pair deltas.  Two bit-identical variants: "roll" (width-independent
         # B_D accumulator, one static roll per extra group, t=32768) and
         # "unroll" (static-sliced depth unroll sharing one compare stream
-        # per depth across groups, no lane rolls, t=8192) - selected by the
-        # engine's ``pair_kernel`` after TPU ablation (scripts/profile_cluster.py).
+        # per depth across groups, no lane rolls, t=8192).  v5e ablation at
+        # depth 16 (scripts/profile_cluster.py): roll 64.7 ms vs unroll
+        # 84.8 ms per span - the bigger tiles amortise better than the
+        # rolls cost, so "roll" stays the default.  (The split pass itself
+        # is the CPU/fallback path; on TPU the fused multi-cluster kernel
+        # replaces it - scan_cluster_fused.py.)
         from .scan_pallas import codes_pair_multi, codes_pair_roll_multi
 
         fn = codes_pair_roll_multi if pair_kernel == "roll" else codes_pair_multi
