@@ -24,6 +24,14 @@ Cluster mode reuses the same pass with the m-profile group structure of
 ops/scan_cluster (K codes + pair counts shared across clusters per span), so
 multi-chip cluster scans cost O(G*depth)/bp/device, not m*O(W)/bp.
 
+The per-shard span pass uses the SPLIT kernels (scan_pallas + XLA glue),
+not the fused codes->bitmap kernels: the fused kernels chain absolute
+bounds across their sequential grid via an SMEM carry, which is per-record
+state - porting them per-shard needs each device to seed its own carry
+from a locally computed first-window bound (straightforward, but only
+measurable with real multi-chip hardware; the virtual CPU mesh used in
+tests cannot show the speedup).
+
 ``sharded_cluster_scan_step`` additionally demonstrates the two-axis
 ("clusters" x "data") expert-style sharding of profiles for pod-scale runs
 where m is large enough to shard.
