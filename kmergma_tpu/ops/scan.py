@@ -317,6 +317,17 @@ def _scan_span_d(codes, s_profile, k, ws, r, use_pallas):
 def _scan_span_bound(codes, s_profile, k, ws, r, depth, use_pallas):
     """Span distances (depth None) or certified lower bounds (depth set)."""
     if depth is None:
+        if use_pallas:
+            # exact mode on TPU: the bound at FULL depth w-1 EQUALS the
+            # exact distance (see scan_window_lower_bounds), and the
+            # roll-carried codes-in kernel (O(1)-in-depth VMEM, in-kernel
+            # K build, no overlapped-tile copies) beats the kcodes-in
+            # match-count pipeline - this is the strobe engine's span pass
+            from .scan_pallas import scan_window_lower_bounds_codes
+
+            return scan_window_lower_bounds_codes(
+                codes, s_profile, k, ws, r, ws - k, use_roll=True
+            )
         return _scan_span_d(codes, s_profile, k, ws, r, use_pallas)
     if use_pallas:
         if _KCODES_XLA:

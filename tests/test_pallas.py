@@ -252,3 +252,31 @@ class TestLowerBounds:
         assert d0_e == d0_b == d_full[0]
         assert stream_e == stream_b
         assert len(stream_e) > 0
+
+
+def test_exact_mode_pallas_stream_matches_xla():
+    """ScanEngine(bound_depth=None, use_pallas=True): the exact-mode span
+    pass rides the full-depth roll kernel - streams must equal the XLA
+    exact path bit-for-bit (this is the strobe engine's default pass)."""
+    from kmergma_tpu.ops.scan import ScanEngine
+
+    rng = np.random.default_rng(17)
+    k, ws, r = 4, 40, 7
+    s = rng.integers(0, 40, 4**k).astype(np.int64)
+    codes = rng.integers(0, 4, 6000, dtype=np.int8)
+    thr = 2.2
+    a = ScanEngine(s, k=k, ws=ws, r=r, use_pallas=False, bound_depth=None, chunk_windows=1024)
+    b = ScanEngine(s, k=k, ws=ws, r=r, use_pallas=True, bound_depth=None, chunk_windows=1024)
+    sa = a.record_stream(codes, thr)
+    sb = b.record_stream(codes, thr)
+    assert sa[0] == sb[0] and sa[1] == sb[1]
+
+    # the strobe-engine shape: k=1 over a wide code alphabet
+    s1 = rng.integers(0, 90, 256).astype(np.int64)
+    wide = rng.integers(0, 256, 5000).astype(np.int32)
+    a1 = ScanEngine(s1, k=1, ws=60, r=9, use_pallas=False, bound_depth=None, chunk_windows=1024)
+    b1 = ScanEngine(s1, k=1, ws=60, r=9, use_pallas=True, bound_depth=None, chunk_windows=1024)
+    a1.pack_codes = b1.pack_codes = False
+    ta = a1.record_stream(wide, 3.0)
+    tb = b1.record_stream(wide, 3.0)
+    assert ta[0] == tb[0] and ta[1] == tb[1]
