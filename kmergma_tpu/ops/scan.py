@@ -486,6 +486,30 @@ def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     return _scan_chunk_full(codes, s_profile, k, ws, r, use_pallas)
 
 
+@jax.jit
+def _pack_bitmap_words(bm_flat):
+    """0/1 int32[nb] -> uint32[ceil(nb/32)] bit-packed (zero-padded).
+
+    Activity bitmaps leave the device once per record; packed they cost
+    1 bit per block instead of 4 bytes - 32x less D2H traffic (4 MB ->
+    125 KB per 512 Mbp record, worth ~100-200 ms through the remote
+    relay's slow fetch path).  Word w bit i = block 32*w + i.
+    """
+    nb = bm_flat.shape[0]
+    pad = (-nb) % 32
+    if pad:
+        bm_flat = jnp.pad(bm_flat, (0, pad))
+    words = bm_flat.reshape(-1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+
+def _unpack_bitmap_words(words: np.ndarray, n_blocks: int) -> np.ndarray:
+    """Host inverse of _pack_bitmap_words -> bool[n_blocks]."""
+    bits = (words[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    return bits.reshape(-1)[:n_blocks].astype(bool)
+
+
 def _with_retry(fn, attempts: int = 2, delay_s: float = 5.0):
     """Failure detection for remote-TPU transport errors (SURVEY.md 5.3):
     retry a device call once on a runtime error before surfacing it.  The
@@ -770,19 +794,25 @@ class ScanEngine:
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         thr_dev = self._thr_cache[1]
 
+        n_blocks = prep.n_spans * (self.chunk // self.block)
         if self.use_fused and nw >= (1 << 16):
             bitmaps = _with_retry(lambda: self._fused_bitmaps(prep, nw, thr_int))
         else:
             bitmaps = _with_retry(
-                lambda: np.asarray(
-                    _scan_record_bitmaps(
-                        prep.dev, self._nv(nw), self.s_dev, thr_dev,
-                        k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
-                        n_spans=prep.n_spans, use_pallas=self.use_pallas,
-                        depth=self.bound_depth,
-                    )
+                lambda: _unpack_bitmap_words(
+                    np.asarray(
+                        _pack_bitmap_words(
+                            _scan_record_bitmaps(
+                                prep.dev, self._nv(nw), self.s_dev, thr_dev,
+                                k=self.k, ws=self.ws, r=self.r, span=self.chunk, block=self.block,
+                                n_spans=prep.n_spans, use_pallas=self.use_pallas,
+                                depth=self.bound_depth,
+                            ).reshape(-1)
+                        )
+                    ),
+                    n_blocks,
                 )
-            ).reshape(-1)
+            )
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
 
@@ -812,7 +842,11 @@ class ScanEngine:
         )
 
     def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
-        return np.asarray(self._fused_bitmaps_handle(prep, nw, thr_int)).reshape(-1)
+        handle = self._fused_bitmaps_handle(prep, nw, thr_int)
+        n_blocks = handle.shape[0] * handle.shape[1]
+        return _unpack_bitmap_words(
+            np.asarray(_pack_bitmap_words(handle.reshape(-1))), n_blocks
+        )
 
     def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.
@@ -850,11 +884,14 @@ class ScanEngine:
                     n_spans=prep.n_spans, use_pallas=self.use_pallas,
                     depth=self.bound_depth,
                 )
-            pending.append((prep, bm))
+            # bit-pack ON DISPATCH so the deferred fetch ships 1 bit/block
+            pending.append((prep, _pack_bitmap_words(bm.reshape(-1))))
             if len(pending) > 2:  # fetch behind the dispatch front
-                out.append(np.asarray(pending.pop(0)[1]).reshape(-1)[:blocks_per_seg])
+                out.append(
+                    _unpack_bitmap_words(np.asarray(pending.pop(0)[1]), blocks_per_seg)
+                )
         for _, bm in pending:
-            out.append(np.asarray(bm).reshape(-1)[:blocks_per_seg])
+            out.append(_unpack_bitmap_words(np.asarray(bm), blocks_per_seg))
         return np.concatenate(out)
 
     def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray):

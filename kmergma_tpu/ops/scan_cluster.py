@@ -270,15 +270,19 @@ class ClusterScanEngine:
             self._small_cache[key] = small
         meta = jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
         specs = tuple((e.ws - self.k + 1, e.r) for e in self.engines)
-        out = np.asarray(
-            fused_cluster_record_bitmaps(
-                prep.dev, self.s_stack, meta,
-                k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-                n_tiles=n_tiles, lookup_dtype=self.lookup_dtype,
-            )
+        from .scan import _pack_bitmap_words, _unpack_bitmap_words
+
+        handle = fused_cluster_record_bitmaps(
+            prep.dev, self.s_stack, meta,
+            k=self.k, specs=specs, depth=depth, t=t, block=self.block,
+            n_tiles=n_tiles, lookup_dtype=self.lookup_dtype,
         )  # (n_tiles, m * (t // block))
         m = len(self.engines)
-        return out.reshape(out.shape[0], m, t // self.block).transpose(1, 0, 2).reshape(m, -1)
+        tb = t // self.block
+        flat = _unpack_bitmap_words(
+            np.asarray(_pack_bitmap_words(handle.reshape(-1))), n_tiles * m * tb
+        )
+        return flat.reshape(n_tiles, m, tb).transpose(1, 0, 2).reshape(m, -1)
 
     def record_streams(
         self, codes: np.ndarray, thrs: list[float], codes_dev=None
