@@ -289,7 +289,7 @@ def main() -> None:
             dist0, stream, _ = engine.record_stream(dcodes_shape, thr, codes_dev=dprep)
             dhits = replay_single(stream, dist0, thr, profile.k, profile.windowsize, dense_bp, 50)
 
-        dbest = _time_best(run_dense)
+        dbest = _time_best(run_dense, repeats=6)  # short loop: more reps tame relay D2H variance
         dmbps = dense_bp / dbest / 1e6
         result["hit_dense_mbps"] = round(dmbps, 2)
         result["hit_dense_hits"] = len(dhits)
@@ -325,7 +325,7 @@ def main() -> None:
             n_events = len(events)
 
         run_cluster()  # warmup replay
-        cbest = _time_best(run_cluster)
+        cbest = _time_best(run_cluster, repeats=5)
         cmbps = dense_bp / cbest / 1e6
         cluster_baseline = 40.0 / m
         result["cluster_mbps"] = round(cmbps, 2)
@@ -388,7 +388,7 @@ def main() -> None:
                 return replay_single(stream, d0, sthr, sprof.k, sprof.windowsize, strobe_bp, 50)
 
             run_strobe()  # warmup compiles
-            sbest = _time_best(run_strobe, repeats=2)
+            sbest = _time_best(run_strobe, repeats=4)
             shits = run_strobe()
             smbps = strobe_bp / sbest / 1e6
             result["strobe_mbps"] = round(smbps, 2)
