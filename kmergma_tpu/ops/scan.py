@@ -642,6 +642,16 @@ class ScanEngine:
                 and bound_depth is not None
                 and bound_depth <= 16
             )
+        elif use_fused and bound_depth is not None and bound_depth > 16:
+            # fail fast with a clear message - the Mosaic compile of the
+            # fused kernel past depth 16 dies opaquely (and slowly, through
+            # a remote-compile relay)
+            raise ValueError(
+                f"use_fused=True requires bound_depth <= 16 (got {bound_depth}): "
+                "the fused Mosaic kernel's depth loop exceeds the scoped-VMEM "
+                "budget past 16; use the split pass (use_fused=False) for "
+                "deeper bounds"
+            )
         self.use_fused = use_fused and use_pallas and bound_depth is not None
 
     def _thr_int(self, thr: float) -> np.int32:

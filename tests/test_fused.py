@@ -97,3 +97,16 @@ def test_segmented_fused_matches_split():
     d0_b, stream_b, _ = fused.record_stream(codes, thr)  # segmented fused
     assert d0_a == d0_b
     assert stream_a == stream_b
+
+
+def test_explicit_fused_deep_bound_raises():
+    """use_fused=True past depth 16 fails fast with a clear message (the
+    Mosaic compile would otherwise die opaquely through the relay)."""
+    import numpy as np
+    import pytest
+
+    from kmergma_tpu.ops.scan import ScanEngine
+
+    s = np.ones(4**6, dtype=np.int64)
+    with pytest.raises(ValueError, match="bound_depth <= 16"):
+        ScanEngine(s, k=6, ws=289, r=4, use_fused=True, bound_depth=32)
