@@ -128,3 +128,18 @@ def test_engine_stream_fuzz_vs_oracle(k, ws, r, n, seed):
     below = {j: v for j, v in stream if v < thr}
     for j, v in below.items():
         assert v == d[j]
+
+
+def test_bitmap_pack_roundtrip():
+    """Device bit-pack / host unpack of activity bitmaps is exact for
+    non-multiple-of-32 block counts (the D2H compression path)."""
+    import numpy as np
+
+    from kmergma_tpu.ops.scan import _pack_bitmap_words, _unpack_bitmap_words
+
+    rng = np.random.default_rng(0)
+    for nb in (1, 31, 32, 33, 1000, 4096):
+        bits = rng.integers(0, 2, nb).astype(np.int32)
+        words = np.asarray(_pack_bitmap_words(bits))
+        got = _unpack_bitmap_words(words, nb)
+        assert got.tolist() == bits.astype(bool).tolist(), nb
