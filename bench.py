@@ -68,6 +68,18 @@ def _device_random_genome(engine, n_bp: int, seed: int, max_ws: int):
 
     n_spans = _span_bucket(max(1, -(-n_bp // engine.chunk)))
     total = n_spans * engine.chunk + engine.rspan + max_ws + 1
+    if getattr(engine, "use_fused", False):
+        # mirror prepare_codes' fused-tiling padding (sized for max_ws so
+        # the genome can be shared with the cluster engines): without it,
+        # sizes landing just above a span-bucket boundary would trip the
+        # 'prepared record too small' guard
+        from kmergma_tpu.ops.scan_fused import ROWS as FROWS
+
+        t = getattr(engine, "fused_t", 8192)
+        w = max_ws - engine.k + 1
+        hw = -(-(w + 1) // 128) * 128 + 128
+        n_tiles = -(-(-(-n_bp // t)) // FROWS) * FROWS
+        total = max(total, n_tiles * t + t + hw)
     total = -(-total // 4) * 4
     piece = 16 << 20
     if total > 4 * piece:

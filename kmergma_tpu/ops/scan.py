@@ -653,6 +653,10 @@ class ScanEngine:
                 "deeper bounds"
             )
         self.use_fused = use_fused and use_pallas and bound_depth is not None
+        #: fused-kernel tile length (transitions per kernel row); production
+        #: default 8192, lowered by tests to exercise the fused tiling on
+        #: small records in interpret mode
+        self.fused_t = 8192
 
     def _thr_int(self, thr: float) -> np.int32:
         # Conservative device-side threshold: superset of the exact host
@@ -697,7 +701,7 @@ class ScanEngine:
             # engine passes its max windowsize via ``fused_ws``)
             from .scan_fused import ROWS as FROWS
 
-            t = 8192
+            t = self.fused_t
             w = fused_ws - self.k + 1
             hw = -(-(w + 1) // 128) * 128 + 128
             n_tiles = -(-(-(-n // t)) // FROWS) * FROWS
@@ -833,7 +837,7 @@ class ScanEngine:
         blocks before the caller fetches.  Returns the device handle."""
         from .scan_fused import ROWS as FROWS, fused_record_bitmaps
 
-        t = 8192
+        t = self.fused_t
         w = self.ws - self.k + 1
         hw = -(-(w + 1) // 128) * 128 + 128
         n_tiles = -(-nw // t)

@@ -231,6 +231,15 @@ class ClusterScanEngine:
                 and len(depths) == 1
                 and next(iter(depths)) <= 16
             )
+        elif use_fused and (len(depths) != 1 or next(iter(depths)) > 16):
+            # fail fast with a clear message (mirrors ScanEngine): the Mosaic
+            # compile of the fused kernel past depth 16 dies opaquely (and
+            # slowly, through a remote-compile relay)
+            raise ValueError(
+                f"use_fused=True requires one shared bound_depth <= 16 across "
+                f"clusters (got depths {sorted(depths)}); use the split pass "
+                "(use_fused=False) for deeper or mixed bounds"
+            )
         self.use_fused = use_fused and self.use_pallas and len(depths) == 1
         #: minimum max-cluster window count for the fused kernel (tiny
         #: records are cheaper through the split pass; tests lower this)
@@ -253,10 +262,18 @@ class ClusterScanEngine:
         from .scan_cluster_fused import fused_cluster_record_bitmaps
         from .scan_fused import ROWS as FROWS
 
-        t = 8192
+        t = self.engines[0].fused_t
         depth = self.groups[0][1]
         nw_max = int(n_valids.max())
         n_tiles = -(-(-(-nw_max // t)) // FROWS) * FROWS
+        max_w = self.max_ws - self.k + 1
+        hw = -(-(max_w + 1) // 128) * 128 + 128
+        if prep.dev.shape[0] < n_tiles * t + t + hw:
+            # mirror scan._fused_bitmaps_handle: an undersized codes_dev
+            # (e.g. a manually-built PreparedCodes) would make the halo
+            # dynamic_slice clamp and yield silently wrong bitmaps near the
+            # record end
+            raise AssertionError("prepared record too small for the fused tiling")
         l0s = [
             _first_window_l0(prep.dev, e.s_dev, k=self.k, ws=e.ws, r=e.r, depth=depth)
             for e in self.engines
