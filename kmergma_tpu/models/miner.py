@@ -21,7 +21,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..ops.align import AlignResult, cigar_to_unitrange, semiglobal_align
+from ..ops.align import (
+    AlignResult,
+    cigar_to_unitrange,
+    semiglobal_align,
+    semiglobal_align_batch,
+)
 from ..ops.reference import RefProfile
 from ..ops.scan import ScanEngine
 from ..utils.fasta import FastaRecord, PathOrRecords, as_records
@@ -202,17 +207,26 @@ def mine_genome(
             dist_parts.append(dists[1:])  # the reference records only the iterative phase
 
         raw_hits = replay_single(stream, dist0, thr, k=k, ws=ws, seq_len=seq_len, buff=buff)
-        for hit in raw_hits:
+        alns = None
+        if do_align and raw_hits:
+            # align on the buffered windows only (never materialise a full
+            # uppercased copy of a multi-Gbp contig), ALL hits of the record
+            # in one batched wavefront (ops/align.semiglobal_align_batch -
+            # bit-identical to per-hit alignment, ~hit-count x less NumPy
+            # dispatch overhead at hit-dense genome scale)
+            windows = [
+                record.seq[h.start - 1 : h.stop].decode("ascii").upper()
+                for h in raw_hits
+            ]
+            alns = semiglobal_align_batch(consensus_ws, windows, gap_open, gap_extend)
+        for hit_i, hit in enumerate(raw_hits):
             start, stop = hit.start, hit.stop
             if do_align:
-                # align on the buffered window only (never materialise a
-                # full uppercased copy of a multi-Gbp contig), then remap
-                # with the reference's semantics: the CIGAR range counts
-                # query-only (I) ops too, so the trimmed range can extend
-                # BEYOND the window, clamped only at the contig end
+                # remap with the reference's semantics: the CIGAR range
+                # counts query-only (I) ops too, so the trimmed range can
+                # extend BEYOND the window, clamped only at the contig end
                 # (ref Alignment.jl:49-51)
-                window = record.seq[start - 1 : stop].decode("ascii").upper()
-                aln = semiglobal_align(consensus_ws, window, gap_open, gap_extend)
+                aln = alns[hit_i]
                 if do_return_align:
                     res.alignments.append(aln)
                 lo, hi = cigar_to_unitrange(aln)

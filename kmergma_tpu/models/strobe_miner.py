@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.align import cigar_to_unitrange, semiglobal_align
+from ..ops.align import cigar_to_unitrange, semiglobal_align_batch
 from ..ops.consensus import Profile
 from ..ops.scan import ScanEngine
 from ..ops.strobemers import strobe_2_mer_codes, ungapped_strobe_2_mer_count_into
@@ -201,13 +201,19 @@ def strobe_mine_genome(
             k=k, ws=ws, seq_len=seq_len, buff=buff, cmi_offset=0,
         )
 
-        for hit in raw_hits:
+        alns = None
+        if do_align and raw_hits:
+            windows = [
+                record.seq[h.start - 1 : h.stop].decode("ascii").upper()
+                for h in raw_hits
+            ]
+            alns = semiglobal_align_batch(consensus_ws, windows, gap_open, gap_extend)
+        for hit_i, hit in enumerate(raw_hits):
             lo, hi = hit.start, hit.stop
             rng = (lo, hi)
             keep = True
             if do_align:
-                window = record.seq[lo - 1 : hi].decode("ascii").upper()
-                aln = semiglobal_align(consensus_ws, window, gap_open, gap_extend)
+                aln = alns[hit_i]
                 if aln.score < score_threshold:
                     keep = False  # ref Alignment.jl:96-98 score filter
                 else:

@@ -128,6 +128,124 @@ def semiglobal_align(
     return _traceback(a, b, sub, H, E, F, go, ge)
 
 
+def semiglobal_align_batch(
+    query: "str | bytes",
+    subjects: "list[str | bytes]",
+    gap_open: int = -69,
+    gap_extend: int = -1,
+) -> "list[AlignResult]":
+    """Batched ``semiglobal_align``: one query against many subjects.
+
+    Bit-identical results (fuzz-pinned in tests/test_alignment.py), but the
+    row-wavefront forward DP is vectorised ACROSS the batch as well as along
+    j, so aligning H hits costs ~one DP's worth of NumPy dispatch overhead
+    instead of H (the hit-dense measurement that motivated this: ~3 ms per
+    hit x 100 hits of pure per-call overhead).  Subjects are grouped by
+    length internally (buffered hit windows share one length except at
+    record edges); the per-hit traceback stays sequential - it is O(m+n)
+    per hit, not O(m*n).
+    """
+    if not subjects:
+        return []
+    a = _seq_to_idx(query)
+    bs = [_seq_to_idx(s) for s in subjects]
+    m = a.shape[0]
+    go, ge = np.int64(gap_open), np.int64(gap_extend)
+    out: list[AlignResult | None] = [None] * len(subjects)
+
+    by_len: dict[int, list[int]] = {}
+    for i, b in enumerate(bs):
+        by_len.setdefault(b.shape[0], []).append(i)
+
+    # The batched pass is MEMORY-BANDWIDTH bound (per-hit DP matrices fit
+    # the cache; batched ones do not), so it stores only H and E (F rows are
+    # recomputed lazily during traceback from H/E - _LazyFRows), allocates
+    # with np.empty (every interior cell is overwritten), and narrows to
+    # int16 whenever the score bounds allow.  All reachable DP values are
+    # exact small integers in every width, so results are bit-identical.
+    max_n = max(by_len)
+    bound = abs(gap_open) + abs(gap_extend) * (m + max_n + 2) + 5 * m
+    dt = np.int16 if 2 * bound + 64 < 2**14 else np.int32
+    neg = np.array(-(2**14) if dt == np.int16 else -(2**30), dtype=dt)
+    go_d, ge_d = np.array(gap_open, dtype=dt), np.array(gap_extend, dtype=dt)
+    for n, idxs in by_len.items():
+        # bound the live (m+1, B, n+1) DP tensors; rows lead the layout so
+        # every update touches contiguous (B, n+1) slabs
+        itemsize = np.dtype(dt).itemsize
+        max_b = max(1, (64 << 20) // ((2 * itemsize + 1) * (m + 1) * (n + 1)))
+        for lo in range(0, len(idxs), max_b):
+            chunk = idxs[lo : lo + max_b]
+            bmat = np.stack([bs[i] for i in chunk])  # (B, n)
+            B = bmat.shape[0]
+            H = np.empty((m + 1, B, n + 1), dtype=dt)
+            E = np.empty((m + 1, B, n + 1), dtype=dt)
+            H[0] = 0
+            E[0] = neg
+            col = go_d + ge_d * np.arange(1, m + 1, dtype=dt)
+            H[1:, :, 0] = E[1:, :, 0] = col[:, None]
+            jj = np.arange(1, n + 1, dtype=dt)
+            gejj = ge_d * jj
+            base = np.empty((B, n + 1), dtype=dt)
+            frow = np.empty((B, n), dtype=dt)
+            sub_rows = _NUC44.astype(dt)[a][:, bmat]  # (m, B, n)
+            for i in range(1, m + 1):
+                np.maximum(H[i - 1, :, 1:] + (go_d + ge_d), E[i - 1, :, 1:] + ge_d, out=E[i, :, 1:])
+                diag = H[i - 1, :, :-1] + sub_rows[i - 1]
+                G = np.maximum(diag, E[i, :, 1:])
+                base[:, 0] = H[i, :, 0]
+                np.subtract(G, gejj, out=base[:, 1:])
+                run = np.maximum.accumulate(base[:, :-1], axis=1)
+                np.add(go_d + gejj, run, out=frow)
+                np.maximum(G, frow, out=H[i, :, 1:])
+            for bi, i_orig in enumerate(chunk):
+                b = bs[i_orig]
+                sub = _NUC44[a][:, b]
+                # narrow strided views, not copies: _traceback makes O(m+n)
+                # scalar reads (NumPy promotes mixed-width comparisons), so
+                # upcasting whole matrices per hit would re-dominate
+                Hb = H[:, bi, :]
+                Eb = E[:, bi, :]
+                out[i_orig] = _traceback(
+                    a, b, sub, Hb, Eb,
+                    _LazyFRows(Hb, Eb, sub, go, ge, n),
+                    go, ge,
+                )
+    return out  # type: ignore[return-value]
+
+
+class _LazyFRows:
+    """F rows of the affine DP, recomputed on demand from stored H/E.
+
+    ``F[i][j]`` reproduces the forward pass's F values exactly: row i
+    depends only on H[i-1], E[i] and H[i, 0] (the running-max formulation in
+    semiglobal_align), so it never needs the full F matrix - the batched
+    aligner drops a third of its DP memory traffic this way.  Rows are
+    cached (a traceback revisits one row many times while in state 'F').
+    """
+
+    def __init__(self, H, E, sub, go, ge, n):
+        self._H, self._E, self._sub = H, E, sub
+        self._go, self._ge, self._n = np.int64(go), np.int64(ge), n
+        self._rows: dict[int, np.ndarray] = {}
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        row = self._rows.get(i)
+        if row is None:
+            n, go, ge = self._n, self._go, self._ge
+            jj = np.arange(1, n + 1, dtype=np.int64)
+            diag = self._H[i - 1, :-1].astype(np.int64) + self._sub[i - 1]
+            G = np.maximum(diag, self._E[i, 1:])
+            base = np.empty(n + 1, dtype=np.int64)
+            base[0] = self._H[i, 0]
+            base[1:] = G - ge * jj
+            run = np.maximum.accumulate(base[:-1])
+            row = np.empty(n + 1, dtype=np.int64)
+            row[0] = NEG_INF
+            row[1:] = go + ge * jj + run
+            self._rows[i] = row
+        return row
+
+
 def _traceback(a, b, sub, H, E, F, go, ge) -> AlignResult:
     """Reconstruct the alignment path.
 
@@ -150,7 +268,7 @@ def _traceback(a, b, sub, H, E, F, go, ge) -> AlignResult:
                 ops.append("=" if a[i - 1] == b[j - 1] else "X")
                 i -= 1
                 j -= 1
-            elif j > 0 and H[i, j] == F[i, j]:
+            elif j > 0 and H[i, j] == F[i][j]:
                 state = "F"
             elif H[i, j] == E[i, j]:
                 state = "E"
@@ -158,7 +276,7 @@ def _traceback(a, b, sub, H, E, F, go, ge) -> AlignResult:
                 raise AssertionError("traceback: inconsistent H cell")
         elif state == "F":
             ops.append("D")
-            if j > 1 and F[i, j] == F[i, j - 1] + ge:
+            if j > 1 and F[i][j] == F[i][j - 1] + ge:
                 j -= 1  # extend
             else:
                 j -= 1

@@ -480,6 +480,110 @@ def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_
     return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
+def _below_words_and_count(d, starts, meta):
+    """Shared tail of the summarized region passes: packed conservative
+    below bits + the borderline count (see _scan_regions_summarized).
+
+    d: int32[n_regions, rspan]; starts: int32[n_regions]; meta: int32[3] =
+    [thr_int, thr_lo, nw].  Returns uint32[ceil(n_regions*rspan/32) + 1]
+    with the borderline count appended as the last word.
+    """
+    rspan = d.shape[1]
+    cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
+    valid = (starts[:, None] + cols) < meta[2]
+    below = (d < meta[0]) & valid
+    border = (d >= meta[1]) & below
+    words = _pack_bitmap_words(below.astype(jnp.int32).reshape(-1))
+    count = jnp.sum(border, dtype=jnp.int32).astype(jnp.uint32)
+    return jnp.concatenate([words, count[None]])
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
+def _scan_regions_summarized(codes_dev, starts, s_profile, meta, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Exact distances of all active regions + a COMPACT summary.
+
+    Returns (d, words): ``d`` stays on device (the run-reduce pass gathers
+    from it); only ``words`` - 1 bit per window of conservative-below flags
+    plus one trailing borderline-count word - is fetched, 32x (+values)
+    fewer D2H bytes than shipping ``d`` itself, which was the largest
+    assembly cost on the remote TPU (~6 MB/record at m=6 hit-dense).
+
+    ``meta`` is int32[3] = [thr_int, thr_lo, nw]: thr_int is the engine's
+    conservative superset threshold; thr_lo the certainly-below bound
+    (float64 host replay of any d < thr_lo is guaranteed < thr).  Windows
+    with d in [thr_lo, thr_int) are BORDERLINE - their below/above status
+    cannot be decided in integer space - and their count is appended so the
+    host can fall back to the full fetch when (rarely) nonzero.
+    """
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(codes_dev, (s,), (rspan + ws - 1,))
+    )(starts)
+    d = _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
+    return d, _below_words_and_count(d, starts, meta)
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
+def _scan_region_rows_summarized(rows, starts, s_profile, meta, *, k, ws, r, rspan, n_regions, use_pallas):
+    """Summarized variant over pre-sliced rows (sharded engines)."""
+    d = _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
+    return d, _below_words_and_count(d, starts, meta)
+
+
+@partial(jax.jit, static_argnames=("k", "rspan", "n_regions", "specs", "use_pallas"))
+def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas):
+    """Summarized region pass for ALL m clusters in one dispatch.
+
+    specs: static ((ws, r), ...) per cluster; every cluster shares ONE
+    ``n_regions`` bucket (the max over clusters) so the jit key is a single
+    bucket value instead of the per-cluster product (ADVICE r3 #4).
+    ``meta`` is int32[3m] = [thr_int_c...] + [thr_lo_c...] + [nw_c...].
+    Returns (d_flat, words): d_flat is int32[m * n_regions * rspan]
+    (cluster-major, row-major) kept on device; words packs each cluster's
+    below bits back to back with m trailing borderline-count words.
+    """
+    m = len(specs)
+    d_parts = []
+    word_parts = []
+    count_parts = []
+    for ci, (ws, r) in enumerate(specs):
+        starts = jax.lax.slice(starts_flat, (ci * n_regions,), ((ci + 1) * n_regions,))
+        rows = jax.vmap(
+            lambda s, ws=ws: jax.lax.dynamic_slice(codes_dev, (s,), (rspan + ws - 1,))
+        )(starts)
+        d = _scan_rows_d(rows, s_stack[ci], k, ws, r, use_pallas)
+        cmeta = jnp.stack([meta[ci], meta[m + ci], meta[2 * m + ci]])
+        wc = _below_words_and_count(d, starts, cmeta)
+        d_parts.append(d.reshape(-1))
+        word_parts.append(wc[:-1])
+        count_parts.append(wc[-1:])
+    return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts)
+
+
+@partial(jax.jit, static_argnames=("bucket",))
+def _run_reduce(d_flat, piece_starts, piece_lens, edge_idx, *, bucket):
+    """Per-run-piece (min, first-argmin) + edge-value gather over the
+    device-resident region distances.
+
+    The host state-machine replay (models/state_machine.py) consumes, per
+    maximal below-threshold run, only the run's minimum, the FIRST index
+    attaining it, and the exact value of the rising-edge window after it -
+    so instead of fetching every region distance, the host sends the run
+    extents (flat indices into d_flat, split into <= ``bucket``-length
+    pieces) and fetches back KBs of reductions.  jnp.argmin's
+    first-occurrence semantics matches the reference's strict-< minima
+    update.  ``edge_idx`` also carries flat index 0 (dist0) first.
+    """
+    nmax = d_flat.shape[0] - 1
+    off = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(piece_starts[:, None] + off, 0, nmax)
+    vals = jnp.take(d_flat.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+    masked = jnp.where(off < piece_lens[:, None], vals, jnp.int32(2**31 - 1))
+    mins = jnp.min(masked, axis=1)
+    argmins = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    edges = jnp.take(d_flat.reshape(-1), jnp.clip(edge_idx, 0, nmax))
+    return jnp.stack([mins, argmins], axis=1), edges
+
+
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
 def _scan_at_full(codes_dev, start, s_profile, *, k, ws, r, chunk, use_pallas):
     codes = jax.lax.dynamic_slice(codes_dev, (start,), (chunk + ws - 1,))

@@ -48,3 +48,31 @@ def test_affine_gap_scoring():
     # one gap of length 2: go + 2*ge
     r = semiglobal_align("AACC", "AATTCC", -5, -1)
     assert r.score == 4 * 5 + (-5 - 2)
+
+
+def test_batch_align_matches_single_fuzz():
+    # semiglobal_align_batch must be bit-identical to per-hit alignment:
+    # mixed subject lengths (grouping path), mutations, indels, IUPAC codes
+    import numpy as np
+
+    from kmergma_tpu.ops.align import semiglobal_align_batch
+
+    rng = np.random.default_rng(7)
+    letters = np.frombuffer(b"ATGCN", dtype=np.uint8)
+    query = "".join("ATGC"[i] for i in rng.integers(0, 4, 60))
+    subjects = []
+    for _ in range(23):
+        n = int(rng.integers(40, 120))
+        subjects.append(bytes(letters[rng.integers(0, 5, n)]).decode())
+    for go, ge in [(-69, -1), (-5, -2)]:
+        batch = semiglobal_align_batch(query, subjects, go, ge)
+        for s, r in zip(subjects, batch):
+            single = semiglobal_align(query, s, go, ge)
+            assert r.score == single.score
+            assert r.cigar == single.cigar
+
+
+def test_batch_align_empty():
+    from kmergma_tpu.ops.align import semiglobal_align_batch
+
+    assert semiglobal_align_batch("ACGT", []) == []
