@@ -279,6 +279,18 @@ def _first_window_l0(codes_dev, s_profile, *, k, ws, r, depth):
     return _lower_bound_base(kc, g, s_profile, w, r, depth)
 
 
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth"))
+def _fused_meta(codes_dev, s_profile, thr_nw, *, k, ws, r, depth):
+    """[thr, l0, nw] for the fused kernel in ONE dispatch (the separate
+    l0 jit + host-side stack cost an extra round trip per record)."""
+    w = ws - k + 1
+    head = jax.lax.slice(codes_dev, (0,), (ws,))
+    kc = rolling_kmer_codes_jnp(head, k)
+    g = profile_lookup(kc, s_profile)
+    l0 = _lower_bound_base(kc, g, s_profile, w, r, depth)
+    return jnp.stack([thr_nw[0], l0.astype(jnp.int32), thr_nw[1]])
+
+
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
     """Guard the exact-integer path against int32 overflow.
 
@@ -448,27 +460,28 @@ def _scan_regions_dense(codes_dev, starts, s_profile, *, k, ws, r, rspan, n_regi
     return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("k", "rspan", "specs", "use_pallas"))
-def _scan_regions_dense_multi(codes_dev, starts_flat, s_stack, *, k, rspan, specs, use_pallas):
+@partial(jax.jit, static_argnames=("k", "rspan", "n_regions", "specs", "use_pallas"))
+def _scan_regions_dense_multi(codes_dev, starts_flat, s_stack, *, k, rspan, n_regions, specs, use_pallas):
     """Exact region distances for ALL m clusters: ONE device call, ONE fetch.
 
-    ``specs`` is a static tuple of (ws, r, n_regions) per cluster;
+    ``specs`` is a static tuple of (ws, r) per cluster; every cluster shares
+    ONE ``n_regions`` bucket (the max over clusters - a single value in the
+    jit key instead of the per-cluster product of buckets, which forced a
+    fresh slow relay compile per combination; ADVICE r3 #4).
     ``starts_flat`` concatenates each cluster's padded starts in spec order.
-    Returns a flat int32[sum_c n_regions_c * rspan] (cluster c's rows at
-    offset sum_{c'<c} n_regions_c' * rspan, row-major) so the host pays one
-    D2H transfer for every cluster's region recompute instead of m - the m
-    separate fetch round trips were the largest cluster-mode cost on the
-    remote TPU (r3 profile: 446 ms of an 832 ms record vs 353 ms compute).
+    Returns a flat int32[m * n_regions * rspan] (cluster-major, row-major)
+    so the host pays one D2H transfer for every cluster's region recompute
+    instead of m - the m separate fetch round trips were the largest
+    cluster-mode cost on the remote TPU (r3 profile: 446 ms of an 832 ms
+    record vs 353 ms compute).
     """
     outs = []
-    off = 0
-    for ci, (ws, r, n_regions) in enumerate(specs):
-        starts = jax.lax.slice(starts_flat, (off,), (off + n_regions,))
+    for ci, (ws, r) in enumerate(specs):
+        starts = jax.lax.slice(starts_flat, (ci * n_regions,), ((ci + 1) * n_regions,))
         rows = jax.vmap(
             lambda s, ws=ws: jax.lax.dynamic_slice(codes_dev, (s,), (rspan + ws - 1,))
         )(starts)
         outs.append(_scan_rows_d(rows, s_stack[ci], k, ws, r, use_pallas).reshape(-1))
-        off += n_regions
     return jnp.concatenate(outs)
 
 
@@ -559,8 +572,8 @@ def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, 
     return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts)
 
 
-@partial(jax.jit, static_argnames=("bucket",))
-def _run_reduce(d_flat, piece_starts, piece_lens, edge_idx, *, bucket):
+@partial(jax.jit, static_argnames=("n_pieces", "bucket"))
+def _run_reduce(d_flat, packed, *, n_pieces, bucket):
     """Per-run-piece (min, first-argmin) + edge-value gather over the
     device-resident region distances.
 
@@ -571,17 +584,109 @@ def _run_reduce(d_flat, piece_starts, piece_lens, edge_idx, *, bucket):
     extents (flat indices into d_flat, split into <= ``bucket``-length
     pieces) and fetches back KBs of reductions.  jnp.argmin's
     first-occurrence semantics matches the reference's strict-< minima
-    update.  ``edge_idx`` also carries flat index 0 (dist0) first.
+    update.
+
+    ``packed`` is ONE int32 array (one H2D transfer): piece start flats,
+    piece lengths, then edge flats (index 0 = dist0 always first).  Returns
+    one int32[2 * n_pieces + n_edges] (one D2H): piece mins, piece argmins,
+    edge values.
     """
-    nmax = d_flat.shape[0] - 1
+    flat = d_flat.reshape(-1)
+    nmax = flat.shape[0] - 1
+    piece_starts = jax.lax.slice(packed, (0,), (n_pieces,))
+    piece_lens = jax.lax.slice(packed, (n_pieces,), (2 * n_pieces,))
+    edge_idx = jax.lax.slice(packed, (2 * n_pieces,), (packed.shape[0],))
     off = jnp.arange(bucket, dtype=jnp.int32)[None, :]
     idx = jnp.clip(piece_starts[:, None] + off, 0, nmax)
-    vals = jnp.take(d_flat.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+    vals = jnp.take(flat, idx.reshape(-1)).reshape(idx.shape)
     masked = jnp.where(off < piece_lens[:, None], vals, jnp.int32(2**31 - 1))
     mins = jnp.min(masked, axis=1)
     argmins = jnp.argmin(masked, axis=1).astype(jnp.int32)
-    edges = jnp.take(d_flat.reshape(-1), jnp.clip(edge_idx, 0, nmax))
-    return jnp.stack([mins, argmins], axis=1), edges
+    edges = jnp.take(flat, jnp.clip(edge_idx, 0, nmax))
+    return jnp.concatenate([mins, argmins, edges])
+
+
+_RUN_BUCKET = 512  # piece length of the run-reduce gather
+
+
+def _extract_runs(bits: np.ndarray, starts, rspan: int, max_index: int):
+    """Below-run extents + rising-edge indices from per-region below bits.
+
+    ``bits``: bool[>= len(starts) * rspan] (region-major); ``starts``: the
+    region start windows (sorted, disjoint; adjacent exactly where a run
+    can cross a region boundary).  All outputs are FLAT indices
+    (region * rspan + col) into the region-major distance array - which are
+    contiguous across adjacent regions, so every run is one flat interval.
+
+    Window 0 (dist0, never part of the iterated stream) and windows past
+    ``max_index`` are masked out, exactly like the old full-fetch stream's
+    ``gidx >= 1`` filter and the Omn replay's i <= imax bound.
+
+    Returns (run_lo, run_hi, edge_flat) int64 arrays; edge_flat is -1 where
+    a run has no in-coverage rising edge (record end / max_index cut).
+    """
+    used = len(starts)
+    sa = np.asarray(starts, dtype=np.int64)
+    flat = bits[: used * rspan].reshape(used, rspan).copy()
+    cols = np.arange(rspan, dtype=np.int64)
+    flat &= (sa[:, None] + cols[None, :]) <= max_index
+    flat[0, 0] = False
+    flat = flat.reshape(-1)
+    adj = np.empty(used, dtype=bool)
+    adj[0] = False
+    if used > 1:
+        adj[1:] = sa[1:] == sa[:-1] + rspan
+    breaks = np.nonzero(~adj)[0] * rspan  # flat positions opening a new extent
+    prev = np.empty_like(flat)
+    prev[0] = False
+    prev[1:] = flat[:-1]
+    prev[breaks] = False
+    nxt = np.empty_like(flat)
+    nxt[-1] = False
+    nxt[:-1] = flat[1:]
+    ends = breaks - 1
+    nxt[ends[ends >= 0]] = False
+    run_lo = np.nonzero(flat & ~prev)[0]
+    run_hi = np.nonzero(flat & ~nxt)[0]
+
+    edge = run_hi + 1
+    # an edge exists iff the next window is inside the same covered extent
+    # and within max_index (coverage guarantees every true rising edge of a
+    # run is in an active-expanded block, hence in an adjacent region)
+    in_cov = edge < used * rspan
+    crosses = (edge % rspan == 0) & in_cov
+    ok_cross = np.ones_like(in_cov)
+    ok_cross[crosses] = adj[(edge[crosses] // rspan)]
+    g_edge = np.where(in_cov, sa[np.clip(edge // rspan, 0, used - 1)] + edge % rspan, 0)
+    has = in_cov & ok_cross & (g_edge <= max_index)
+    return run_lo, run_hi, np.where(has, edge, -1)
+
+
+def _run_pieces(run_lo: np.ndarray, run_hi: np.ndarray, bucket: int):
+    """Split runs into <= bucket-length pieces for the fixed-shape gather.
+
+    Returns (run_ids, piece_starts, piece_lens) with pieces grouped by run
+    in order (the host recombines with first-min-wins semantics)."""
+    lens = run_hi - run_lo + 1
+    n_pieces = -(-lens // bucket)
+    total = int(n_pieces.sum())
+    run_ids = np.repeat(np.arange(len(run_lo)), n_pieces)
+    first = np.cumsum(n_pieces) - n_pieces
+    offs = np.arange(total) - first[run_ids]
+    p_start = run_lo[run_ids] + offs * bucket
+    p_len = np.minimum(bucket, run_hi[run_ids] + 1 - p_start)
+    return run_ids, p_start, p_len
+
+
+def _combine_pieces(run_ids, p_start, mins, argmins, n_runs):
+    """Per-run (min, first-argmin) from per-piece reductions: first piece
+    attaining the run minimum wins (strict-< left-to-right semantics)."""
+    bounds = np.searchsorted(run_ids, np.arange(n_runs))
+    run_min = np.minimum.reduceat(mins, bounds)
+    cand = np.where(mins == run_min[run_ids], np.arange(len(mins)), 1 << 60)
+    first_piece = np.minimum.reduceat(cand, bounds)
+    arg_flat = p_start[first_piece] + argmins[first_piece]
+    return run_min, arg_flat
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "chunk", "use_pallas"))
@@ -692,9 +797,10 @@ class ScanEngine:
     prefetch_h2d = True
 
     #: 2-bit genome codes ship quarter-packed (4 bases/byte); engines whose
-    #: code alphabet exceeds 2 bits (the strobemer engine scans 2s-bit
-    #: strobe codes with k=1) ship int32 codes unpacked
-    pack_codes = True
+    #: code alphabet exceeds 2 bits ship "byte" (1 code/byte, alphabet <=
+    #: 256 - the strobemer engine's 4^(2s)=256 codes at s=2, 4x less H2D
+    #: than int32) or False (unpacked int32)
+    pack_codes: "bool | str" = True
 
     def __init__(self, s_profile: np.ndarray, k: int, ws: int, r: int, chunk_windows: int | None = None, use_pallas: bool | None = None, bound_depth: int | None = 16, use_fused: bool | None = None):
         _ensure_compile_cache()
@@ -726,6 +832,17 @@ class ScanEngine:
         self.rspan = 1 << 10
         self._thr_cache: tuple[float, object] | None = None
         self._nv_cache: dict[int, object] = {}  # n_valid H2D arrays by value
+        self._meta_cache: dict[tuple, object] = {}  # summarized-pass metas
+        # Stream assembly mode: "reduced" (default) fetches 1 bit/window of
+        # below flags plus per-run (min, first-argmin) and edge-value
+        # reductions - the replay provably needs nothing else - instead of
+        # every region distance (32x+ fewer D2H bytes; the region fetch was
+        # the largest remaining per-record cost on the remote TPU).  Records
+        # with BORDERLINE integer distances (cannot be classified below/
+        # above threshold on device; ~0 expected per record) fall back to
+        # the exact full fetch automatically.  KMERGMA_ASSEMBLE=full opts
+        # out entirely.
+        self.assemble_mode = os.environ.get("KMERGMA_ASSEMBLE", "reduced")
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -767,6 +884,44 @@ class ScanEngine:
         # comparison (extra candidates are no-ops in the replay).
         return np.int32(min(np.floor(thr * self.scale) + 2, 2**31 - 1))
 
+    def _thr_exact(self, thr: float) -> np.int32:
+        """The EXACT integer threshold T: d < T  <=>  float64(d / scale)
+        < thr - the precise comparison the host replay performs on stream
+        values.  float64 division by a positive constant is monotone in d,
+        so T exists and a 5-int search around floor(thr * scale) finds it;
+        with T on both sides of the summarized pass's borderline interval,
+        device below bits are exact and the full-fetch fallback never fires.
+        """
+        t0 = np.floor(thr * self.scale)
+        if not np.isfinite(t0) or t0 >= 2**31 - 8:
+            return np.int32(2**31 - 1)
+        t = max(int(t0) - 2, -(2**31) + 8)
+        while np.float64(t) / self.scale < thr:
+            t += 1
+        return np.int32(t)
+
+    def _meta3(self, thr: float, nw: int):
+        """Cached int32[3] = [thr_exact, thr_exact, nw] device array for
+        the summarized region pass (one tiny H2D per distinct key).  Both
+        bounds collapse onto the exact threshold, so the borderline set is
+        empty by construction (the count plumbing remains as a guard)."""
+        key = (float(thr), nw)
+        dev = self._meta_cache.get(key)
+        if dev is None:
+            if len(self._meta_cache) > 64:
+                self._meta_cache.clear()
+            t = self._thr_exact(thr)
+            dev = jnp.asarray(np.asarray([t, t, nw], dtype=np.int32))
+            self._meta_cache[key] = dev
+        return dev
+
+    def _codes_dtype(self):
+        if self.pack_codes is True:
+            return np.int8
+        if self.pack_codes == "byte":
+            return np.uint8
+        return np.int32
+
     def _nv(self, nw: int):
         """Cached device array for a record's window count - repeated scans
         of same-length records (and timed loops) skip the small H2D transfer,
@@ -789,7 +944,7 @@ class ScanEngine:
         largest windowsize; span counts are independent of ws by padding
         ceil(n/span)+bucket spans.
         """
-        codes = np.asarray(codes, dtype=np.int8 if self.pack_codes else np.int32)
+        codes = np.asarray(codes, dtype=self._codes_dtype())
         n = codes.shape[0]
         _check_record_len(n)
         n_spans = _span_bucket(max(1, -(-n // self.chunk)))
@@ -817,14 +972,14 @@ class ScanEngine:
         piece = 16 << 20
         if total > 4 * piece:
             total = -(-total // (4 * piece)) * (4 * piece)
-        if not self.pack_codes:
-            padded = np.zeros(total, dtype=np.int32)
+        if self.pack_codes is not True:
+            padded = np.zeros(total, dtype=self._codes_dtype())
             padded[:n] = codes
 
             def transfer_wide():
                 if padded.nbytes <= piece:
                     return jax.device_put(padded)
-                step = piece // 4
+                step = piece // padded.itemsize
                 return jnp.concatenate(
                     [jax.device_put(padded[o : o + step]) for o in range(0, total, step)]
                 )
@@ -854,14 +1009,16 @@ class ScanEngine:
         packed_dev = _with_retry(transfer)
         return PreparedCodes(_unpack_codes(packed_dev), n_spans)
 
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
         """Scan one record; return (dist0, stream, dists_or_None).
 
         ``dist0`` is the init-window distance, ``stream`` a sorted list of
         (window index >= 1, exact float64 distance) covering every window
         that can influence the minima state machine at threshold ``thr``.
         ``codes_dev`` may pass a pre-transferred padded device array
-        (see ``prepare_codes``).
+        (see ``prepare_codes``).  ``seg_tracker`` (utils.checkpoint.
+        SegmentTracker) persists/restores per-segment progress on the
+        long-record segmented path - mid-record checkpointing.
         """
         n = codes.shape[0]
         _check_record_len(n)
@@ -878,8 +1035,10 @@ class ScanEngine:
             # host codes, so no whole-record device array is ever held
             if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
                 self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
-            codes = np.asarray(codes, dtype=np.int8 if self.pack_codes else np.int32)
-            bitmaps = _with_retry(lambda: self._segmented_bitmaps(codes, nw, thr_int))
+            codes = np.asarray(codes, dtype=self._codes_dtype())
+            bitmaps = _with_retry(
+                lambda: self._segmented_bitmaps(codes, nw, thr_int, seg_tracker)
+            )
             dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps)
             return dist0, stream, None
 
@@ -949,9 +1108,15 @@ class ScanEngine:
         if prep.dev.shape[0] < n_tiles * t + t + hw:
             raise AssertionError("prepared record too small for the fused tiling")
         depth = self.bound_depth
-        l0 = _first_window_l0(prep.dev, self.s_dev, k=self.k, ws=self.ws, r=self.r, depth=depth)
-        meta = jnp.stack(
-            [jnp.int32(int(thr_int)), l0.astype(jnp.int32), jnp.int32(nw)]
+        key = ("tnw", int(thr_int), nw)
+        thr_nw = self._meta_cache.get(key)
+        if thr_nw is None:
+            if len(self._meta_cache) > 64:
+                self._meta_cache.clear()
+            thr_nw = jnp.asarray(np.asarray([int(thr_int), nw], dtype=np.int32))
+            self._meta_cache[key] = thr_nw
+        meta = _fused_meta(
+            prep.dev, self.s_dev, thr_nw, k=self.k, ws=self.ws, r=self.r, depth=depth
         )
         return fused_record_bitmaps(
             prep.dev, self.s_dev, meta,
@@ -966,7 +1131,7 @@ class ScanEngine:
             np.asarray(_pack_bitmap_words(handle.reshape(-1))), n_blocks
         )
 
-    def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int) -> np.ndarray:
+    def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int, tracker=None) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.
 
         Splits the record into fixed segments of 2 x chunk windows, and for
@@ -976,6 +1141,11 @@ class ScanEngine:
         (SURVEY.md section 2.2 PP row: double-buffered device feeds).  The
         sliding fetch also bounds live device memory to ~3 segments, so
         arbitrarily long records never exhaust HBM.
+
+        ``tracker`` (utils.checkpoint.SegmentTracker) makes the pass
+        resumable MID-RECORD: each fetched segment's packed words are
+        persisted, and a resumed scan restores them and recomputes only
+        the remaining segments (SURVEY section 5.4).
         """
         seg = 2 * self.chunk
         blocks_per_seg = seg // self.block
@@ -983,9 +1153,23 @@ class ScanEngine:
         # the fused kernel's tiling needs more headroom than tiny test
         # chunks provide; production chunks (>= 2^16 windows) always do
         fused = self.use_fused and self.chunk >= (1 << 16)
-        pending: list = []  # (prep, bm_handle) not yet fetched
+        start_seg = 0
         out: list[np.ndarray] = []
-        for off in range(0, nw, seg):
+        if tracker is not None:
+            start_seg, restored = tracker.resume()
+            out = [_unpack_bitmap_words(w, blocks_per_seg) for w in restored]
+        pending: list = []  # (seg_idx, prep, words_handle) not yet fetched
+
+        def fetch_one():
+            si, _prep, wh = pending.pop(0)
+            w = np.asarray(wh)
+            out.append(_unpack_bitmap_words(w, blocks_per_seg))
+            if tracker is not None:
+                tracker.done_segment(si, w)
+
+        for si, off in enumerate(range(0, nw, seg)):
+            if si < start_seg:
+                continue  # restored from the checkpoint
             seg_codes = codes[off : off + seg + self.ws - 1]
             prep = self.prepare_codes(seg_codes)  # async H2D dispatch
             # this segment owns windows [off, off + seg); its codes slice
@@ -1003,16 +1187,14 @@ class ScanEngine:
                     depth=self.bound_depth,
                 )
             # bit-pack ON DISPATCH so the deferred fetch ships 1 bit/block
-            pending.append((prep, _pack_bitmap_words(bm.reshape(-1))))
+            pending.append((si, prep, _pack_bitmap_words(bm.reshape(-1))))
             if len(pending) > 2:  # fetch behind the dispatch front
-                out.append(
-                    _unpack_bitmap_words(np.asarray(pending.pop(0)[1]), blocks_per_seg)
-                )
-        for _, bm in pending:
-            out.append(_unpack_bitmap_words(np.asarray(bm), blocks_per_seg))
+                fetch_one()
+        while pending:
+            fetch_one()
         return np.concatenate(out)
 
-    def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray):
+    def _assemble_stream(self, source, nw: int, thr: float, bitmaps: np.ndarray, max_index: int | None = None):
         """Turn a record's activity bitmaps into the exact candidate stream.
 
         Recomputes the few active regions exactly on device (one batched
@@ -1028,9 +1210,9 @@ class ScanEngine:
         shipped as explicit rows - the sharded path, where no single device
         holds the whole record).
         """
-        return self._assemble_finish(self._assemble_plan(source, nw, thr, bitmaps))
+        return self._assemble_finish(self._assemble_plan(source, nw, thr, bitmaps, max_index))
 
-    def _assemble_plan(self, source, nw: int, thr: float, bitmaps: np.ndarray) -> dict:
+    def _assemble_plan(self, source, nw: int, thr: float, bitmaps: np.ndarray, max_index: int | None = None) -> dict:
         """Phase 1 of stream assembly: derive the active regions and
         DISPATCH their exact batched recompute without blocking.
 
@@ -1043,23 +1225,39 @@ class ScanEngine:
         adjacent within a run, disjoint always), so the exact O(W)/bp
         recompute covers ~the active windows only - not whole power-of-two
         bins around them.
+
+        ``max_index`` bounds the stream (cluster mode's i <= imax loop
+        bound, applied at reduction time so run minima never see windows
+        the reference would not scan); default = every window.
         """
         thr_int = self._thr_int(thr)
         starts, rspan = self._plan_starts(bitmaps, nw)
         n_regions = _span_bucket(len(starts))
         starts_pad = np.zeros(n_regions, dtype=np.int32)
         starts_pad[: len(starts)] = starts
+        reduced = self.assemble_mode == "reduced"
 
-        def dispatch():
-            return self._dispatch_regions_dense(source, starts_pad, nw, rspan, n_regions)
+        if reduced:
+            meta = self._meta3(thr, nw)
+
+            def dispatch():
+                return self._dispatch_regions_summarized(
+                    source, starts_pad, rspan, n_regions, meta
+                )
+        else:
+
+            def dispatch():
+                return self._dispatch_regions_dense(source, starts_pad, nw, rspan, n_regions)
 
         try:
             handles = dispatch()
         except jax.errors.JaxRuntimeError:  # transport hiccup: retry at fetch
             handles = None
         return {
-            "handles": handles, "dispatch": dispatch,
+            "handles": handles, "dispatch": dispatch, "reduced": reduced,
             "nw": nw, "thr_int": thr_int, "starts": starts, "rspan": rspan,
+            "n_regions": n_regions,
+            "max_index": nw - 1 if max_index is None else min(max_index, nw - 1),
         }
 
     def _plan_starts(self, bitmaps: np.ndarray, nw: int) -> tuple[list[int], int]:
@@ -1085,19 +1283,130 @@ class ScanEngine:
         return starts, rspan
 
     def _assemble_finish(self, plan: dict):
-        """Phase 2: fetch the region distances (ONE transfer) and assemble
-        the exact candidate stream (re-dispatching once on a transport
-        failure).  Stream entries carry exact values for below-threshold
-        windows and for rising edges alike."""
+        """Phase 2: fetch the summary (or, in "full" mode / on borderline
+        distances, every region distance), reduce, and assemble the exact
+        candidate stream (re-dispatching once on a transport failure)."""
         nw, thr_int = plan["nw"], plan["thr_int"]
         starts, rspan = plan["starts"], plan["rspan"]
+        if not plan["reduced"]:
+            try:
+                if plan["handles"] is None:
+                    raise jax.errors.JaxRuntimeError("deferred dispatch failure")
+                d_all = np.asarray(plan["handles"])
+            except jax.errors.JaxRuntimeError:
+                d_all = _with_retry(lambda: np.asarray(plan["dispatch"]()))
+            return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
+
         try:
             if plan["handles"] is None:
                 raise jax.errors.JaxRuntimeError("deferred dispatch failure")
-            d_all = np.asarray(plan["handles"])
+            d_handle, words_handle = plan["handles"]
+            words = np.asarray(words_handle)
         except jax.errors.JaxRuntimeError:
-            d_all = _with_retry(lambda: np.asarray(plan["dispatch"]()))
-        return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
+            d_handle, words_handle = _with_retry(plan["dispatch"])
+            words = np.asarray(words_handle)
+        if int(words[-1]) > 0:
+            # borderline integer distances present: the below/above split
+            # cannot be certified on device - exact full fetch (rare)
+            d_all = np.asarray(d_handle)
+            return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
+        bits = _unpack_bitmap_words(words[:-1], plan["n_regions"] * rspan)
+        return self._stream_from_reduction(
+            d_handle, bits, starts, rspan, plan["max_index"]
+        )
+
+    def _stream_from_reduction(self, d_handle, bits, starts, rspan, max_index, flat_base: int = 0, reducer=None):
+        """Reduced-path stream assembly: extract runs on host from the
+        below bits, reduce them on device (_run_reduce), synthesize the
+        minimal equivalent stream.
+
+        ``reducer``/``flat_base`` let the cluster engine batch all m
+        clusters' reductions into one device call over the shared flat
+        distance array (flat_base = this cluster's offset in it).  Returns
+        (dist0, stream).
+        """
+        if starts[0] != 0:
+            raise AssertionError("scan bitmap path missed window 0")
+        run_lo, run_hi, edge_flat = _extract_runs(bits, starts, rspan, max_index)
+        run_ids, p_start, p_len = _run_pieces(run_lo, run_hi, _RUN_BUCKET)
+        edge_ok = edge_flat >= 0
+        edge_list = np.concatenate([[0], edge_flat[edge_ok]])  # [0] = dist0
+        if reducer is None:
+            out = self._reduce_on_device(
+                d_handle, [(p_start, p_len, edge_list)]
+            )[0]
+        else:
+            out = reducer(flat_base, p_start, p_len, edge_list)
+        return self._finish_reduction(
+            out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok,
+            run_ids, p_start,
+        )
+
+    def _reduce_on_device(self, d_handle, requests: list):
+        """Run _run_reduce over one or more (p_start, p_len, edge_list)
+        request groups against one device distance array: ONE packed H2D,
+        ONE dispatch, ONE D2H for all of them (the cluster engine's m
+        clusters batch through here).  Returns one int32 result array per
+        request, [mins | argmins | edge_vals]."""
+        n_pieces = sum(len(r[0]) for r in requests)
+        n_edges = sum(len(r[2]) for r in requests)
+        np_b = _span_bucket(max(1, n_pieces))
+        ne_b = _span_bucket(max(1, n_edges))
+        packed = np.zeros(2 * np_b + ne_b, dtype=np.int32)
+        off = 0
+        for ps, _pl, _el in requests:
+            packed[off : off + len(ps)] = ps
+            off += len(ps)
+        off = np_b
+        for _ps, pl, _el in requests:
+            packed[off : off + len(pl)] = pl
+            off += len(pl)
+        off = 2 * np_b
+        for _ps, _pl, el in requests:
+            packed[off : off + len(el)] = el
+            off += len(el)
+        res = _with_retry(
+            lambda: np.asarray(
+                _run_reduce(
+                    d_handle, jnp.asarray(packed), n_pieces=np_b, bucket=_RUN_BUCKET
+                )
+            )
+        )
+        outs = []
+        po = 0
+        eo = 0
+        for ps, _pl, el in requests:
+            outs.append(
+                np.concatenate(
+                    [
+                        res[po : po + len(ps)],
+                        res[np_b + po : np_b + po + len(ps)],
+                        res[2 * np_b + eo : 2 * np_b + eo + len(el)],
+                    ]
+                )
+            )
+            po += len(ps)
+            eo += len(el)
+        return outs
+
+    def _finish_reduction(self, out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start):
+        """Synthesize (dist0, stream) from a fetched reduction result."""
+        n_p = len(p_start)
+        mins, argmins = out[:n_p], out[n_p : 2 * n_p]
+        edge_vals = out[2 * n_p :]
+        dist0 = float(edge_vals[0]) / self.scale
+        n_runs = len(run_lo)
+        if n_runs == 0:
+            return dist0, []
+        run_min, arg_flat = _combine_pieces(run_ids, p_start, mins, argmins, n_runs)
+        sa = np.asarray(starts, dtype=np.int64)
+        g_min = sa[arg_flat // rspan] + arg_flat % rspan
+        ef = edge_flat[edge_ok]
+        g_edge = sa[ef // rspan] + ef % rspan
+        idx = np.concatenate([g_min, g_edge])
+        vals = np.concatenate([run_min, edge_vals[1:]]).astype(np.float64) / self.scale
+        order = np.argsort(idx, kind="stable")
+        return dist0, list(zip(idx[order].tolist(), vals[order].tolist()))
 
     def _stream_from_region_dists(self, d_all: np.ndarray, starts: list[int], rspan: int, nw: int, thr_int) -> tuple[float, list[tuple[int, float]]]:
         """Assemble (dist0, sorted candidate stream) from fetched region
@@ -1148,6 +1457,22 @@ class ScanEngine:
         rows = self._region_rows(source, starts_pad, rspan)
         return _scan_region_rows_dense(
             jnp.asarray(rows), self.s_dev,
+            k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+            n_regions=n_regions, use_pallas=self.use_pallas,
+        )
+
+    def _dispatch_regions_summarized(self, source, starts_pad, rspan, n_regions, meta):
+        """Dispatch the summarized region recompute (reduced assembly);
+        returns (d handle, words handle) - only words is ever fetched."""
+        if isinstance(source, PreparedCodes):
+            return _scan_regions_summarized(
+                source.dev, jnp.asarray(starts_pad), self.s_dev, meta,
+                k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+                n_regions=n_regions, use_pallas=self.use_pallas,
+            )
+        rows = self._region_rows(source, starts_pad, rspan)
+        return _scan_region_rows_summarized(
+            jnp.asarray(rows), jnp.asarray(starts_pad), self.s_dev, meta,
             k=self.k, ws=self.ws, r=self.r, rspan=rspan,
             n_regions=n_regions, use_pallas=self.use_pallas,
         )

@@ -39,6 +39,24 @@ from .scan import (
 )
 
 
+@partial(jax.jit, static_argnames=("k", "specs", "depth"))
+def _fused_cluster_meta(codes_dev, s_stack, small, *, k, specs, depth):
+    """Build the fused multi-cluster kernel's meta vector in ONE dispatch:
+    [nw_c..., thr_c...] (``small``, host-cached) ++ [l0_c...] - the m
+    per-cluster first-window bounds each touch only the first ws_c codes,
+    so m separate _first_window_l0 dispatches were pure round-trip latency
+    on the remote TPU."""
+    from .scan import _lower_bound_base, profile_lookup
+
+    l0s = []
+    for ci, (ws, r) in enumerate(specs):
+        head = jax.lax.slice(codes_dev, (0,), (ws,))
+        kc = rolling_kmer_codes_jnp(head, k)
+        g = profile_lookup(kc, s_stack[ci])
+        l0s.append(_lower_bound_base(kc, g, s_stack[ci], ws - k + 1, r, depth))
+    return jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+
+
 def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
     """First-window equal-k-mer pair count at partner distance <= depth -
     the profile-independent part of ops.scan._lower_bound_base."""
@@ -258,7 +276,6 @@ class ClusterScanEngine:
 
     def _fused_cluster_bitmaps(self, prep, n_valids, thr_ints) -> np.ndarray:
         """Whole-record fused pass: returns bool[m, n_blocks] bitmaps."""
-        from .scan import _first_window_l0
         from .scan_cluster_fused import fused_cluster_record_bitmaps
         from .scan_fused import ROWS as FROWS
 
@@ -274,10 +291,6 @@ class ClusterScanEngine:
             # dynamic_slice clamp and yield silently wrong bitmaps near the
             # record end
             raise AssertionError("prepared record too small for the fused tiling")
-        l0s = [
-            _first_window_l0(prep.dev, e.s_dev, k=self.k, ws=e.ws, r=e.r, depth=depth)
-            for e in self.engines
-        ]
         key = ("meta", tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
         small = self._small_cache.get(key)
         if small is None:
@@ -285,7 +298,10 @@ class ClusterScanEngine:
                 self._small_cache.clear()
             small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
             self._small_cache[key] = small
-        meta = jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+        meta = _fused_cluster_meta(
+            prep.dev, self.s_stack, small,
+            k=self.k, specs=tuple((e.ws, e.r) for e in self.engines), depth=depth,
+        )
         specs = tuple((e.ws - self.k + 1, e.r) for e in self.engines)
         from .scan import _pack_bitmap_words, _unpack_bitmap_words
 
@@ -351,43 +367,121 @@ class ClusterScanEngine:
                 )
             )  # (n_spans, m, blocks)
             by_cluster = [bitmaps[:, ci, :].reshape(-1) for ci in range(len(self.engines))]
-        return self._streams_from_bitmaps(prep, by_cluster, n_valids, thr_ints, thrs)
+        return self._streams_from_bitmaps(prep, by_cluster, n_valids, thr_ints, thrs, seq_len=n)
 
-    def _streams_from_bitmaps(self, prep, by_cluster, n_valids, thr_ints, thrs):
+    def _streams_from_bitmaps(self, prep, by_cluster, n_valids, thr_ints, thrs, seq_len=None):
         """COMBINED region recompute for all m clusters: one device call and
-        one D2H fetch (the m separate per-cluster fetch round trips were the
+        one fetch (the m separate per-cluster fetch round trips were the
         largest cluster-mode cost on the remote TPU - r3 profile: 446 ms of
-        an 832 ms record vs 353 ms of bitmap compute)."""
-        from .scan import _scan_regions_dense_multi, _span_bucket
+        an 832 ms record vs 353 ms of bitmap compute).
+
+        In "reduced" assembly mode (the default) the fetch is the packed
+        below bits + per-run reductions for ALL clusters - KBs instead of
+        the multi-MB distance rows (r4: the 6 MB hit-dense m=6 fetch at
+        ~39 MB/s relay D2H was the next-largest cost after r3's combining).
+        ``seq_len`` bounds every stream at the Omn loop's i <= imax
+        (ref OmnGenomeMiner.jl:89) so run minima never see windows the
+        reference would not scan.
+        """
+        from .scan import (
+            _RUN_BUCKET,
+            _extract_runs,
+            _run_pieces,
+            _scan_regions_dense_multi,
+            _scan_regions_summarized_multi,
+            _span_bucket,
+            _unpack_bitmap_words,
+        )
 
         e0 = self.engines[0]
+        m = len(self.engines)
         rspan = min(e0.chunk, e0.rspan)
         all_starts: list[list[int]] = []
-        specs: list[tuple[int, int, int]] = []
         for ci, eng in enumerate(self.engines):
             starts, _ = eng._plan_starts(np.asarray(by_cluster[ci]), int(n_valids[ci]))
             all_starts.append(starts)
-            specs.append((eng.ws, eng.r, _span_bucket(len(starts))))
-        starts_flat = np.zeros(sum(s[2] for s in specs), dtype=np.int32)
-        off = 0
-        for starts, spec in zip(all_starts, specs):
-            starts_flat[off : off + len(starts)] = starts
-            off += spec[2]
+        n_regions = _span_bucket(max(len(s) for s in all_starts))
+        starts_flat = np.zeros(m * n_regions, dtype=np.int32)
+        for ci, starts in enumerate(all_starts):
+            starts_flat[ci * n_regions : ci * n_regions + len(starts)] = starts
+        specs = tuple((eng.ws, eng.r) for eng in self.engines)
 
-        d_flat = _with_retry(
-            lambda: np.asarray(
-                _scan_regions_dense_multi(
-                    prep.dev, jnp.asarray(starts_flat), self.s_stack,
-                    k=self.k, rspan=rspan, specs=tuple(specs),
-                    use_pallas=self.use_pallas,
+        if e0.assemble_mode != "reduced":
+            d_flat = _with_retry(
+                lambda: np.asarray(
+                    _scan_regions_dense_multi(
+                        prep.dev, jnp.asarray(starts_flat), self.s_stack,
+                        k=self.k, rspan=rspan, n_regions=n_regions,
+                        specs=specs, use_pallas=self.use_pallas,
+                    )
                 )
             )
+            return self._streams_full_fetch(
+                d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
+            )
+
+        t_exact = np.asarray(
+            [eng._thr_exact(thr) for eng, thr in zip(self.engines, thrs)], dtype=np.int32
         )
+        key = ("rmeta", tuple(t_exact.tolist()), tuple(n_valids.tolist()))
+        meta = self._small_cache.get(key)
+        if meta is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            # exact integer thresholds on BOTH borderline bounds: device
+            # below bits equal the host float64 comparison exactly (see
+            # ScanEngine._thr_exact), so the full-fetch fallback never fires
+            meta = jnp.asarray(np.concatenate([t_exact, t_exact, n_valids]).astype(np.int32))
+            self._small_cache[key] = meta
+
+        d_flat_h, words_h = _with_retry(
+            lambda: _scan_regions_summarized_multi(
+                prep.dev, jnp.asarray(starts_flat), self.s_stack, meta,
+                k=self.k, rspan=rspan, n_regions=n_regions, specs=specs,
+                use_pallas=self.use_pallas,
+            )
+        )
+        words = _with_retry(lambda: np.asarray(words_h))
+        if int(words[-m:].sum()) > 0:
+            # borderline integer distances somewhere: exact full fetch
+            d_flat = np.asarray(d_flat_h)
+            return self._streams_full_fetch(
+                d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
+            )
+
+        imax = None if seq_len is None else seq_len - self.max_ws - self.k + 2
+        words_per = n_regions * rspan // 32
+        requests = []
+        infos = []
+        for ci, (eng, starts) in enumerate(zip(self.engines, all_starts)):
+            bits = _unpack_bitmap_words(
+                words[ci * words_per : (ci + 1) * words_per], n_regions * rspan
+            )
+            mi = int(n_valids[ci]) - 1
+            if imax is not None:
+                mi = min(mi, imax)
+            run_lo, run_hi, edge_flat = _extract_runs(bits, starts, rspan, mi)
+            run_ids, p_start, p_len = _run_pieces(run_lo, run_hi, _RUN_BUCKET)
+            base = ci * n_regions * rspan
+            edge_ok = edge_flat >= 0
+            edge_list = np.concatenate([[0], edge_flat[edge_ok]]).astype(np.int64) + base
+            requests.append((p_start + base, p_len, edge_list))
+            infos.append((eng, starts, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start))
+        outs = e0._reduce_on_device(d_flat_h, requests)
+        return [
+            eng._finish_reduction(
+                out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start
+            )
+            for out, (eng, starts, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start)
+            in zip(outs, infos)
+        ]
+
+    def _streams_full_fetch(self, d_flat, all_starts, rspan, n_regions, n_valids, thr_ints):
         out = []
-        off = 0
-        for ci, (eng, starts, spec) in enumerate(zip(self.engines, all_starts, specs)):
-            d_all = d_flat[off : off + spec[2] * rspan].reshape(spec[2], rspan)
-            off += spec[2] * rspan
+        for ci, (eng, starts) in enumerate(zip(self.engines, all_starts)):
+            d_all = d_flat[ci * n_regions * rspan : (ci + 1) * n_regions * rspan].reshape(
+                n_regions, rspan
+            )
             out.append(
                 eng._stream_from_region_dists(
                     d_all, starts, rspan, int(n_valids[ci]), int(thr_ints[ci])

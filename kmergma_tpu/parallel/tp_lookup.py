@@ -169,6 +169,13 @@ def _tp_regions_dense(codes_dev, starts, s_sharded, *, k, ws, r, rspan, n_region
     )(codes_dev, starts, s_sharded)
 
 
+@jax.jit
+def _summarize_rows(d, starts, meta):
+    from ..ops.scan import _below_words_and_count
+
+    return _below_words_and_count(d, starts, meta)
+
+
 class TPScanEngine(ScanEngine):
     """ScanEngine with the 4^k profile axis sharded over the device mesh.
 
@@ -194,7 +201,7 @@ class TPScanEngine(ScanEngine):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.s_sharded = shard_profile(s_profile, self.mesh)
 
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
         nw = n - self.ws + 1
@@ -248,3 +255,16 @@ class TPScanEngine(ScanEngine):
             k=self.k, ws=self.ws, r=self.r, rspan=rspan,
             n_regions=n_regions, mesh=self.mesh,
         )
+
+    def _dispatch_regions_summarized(self, source, starts_pad, rspan, n_regions, meta):
+        """Reduced-assembly variant: the TP region recompute keeps its
+        distances on device; the summary rides the shared below-words jit."""
+        if not isinstance(source, PreparedCodes):
+            raise TypeError("TPScanEngine assembles from prepared device codes")
+        starts_dev = jnp.asarray(starts_pad)
+        d = _tp_regions_dense(
+            source.dev, starts_dev, self.s_sharded,
+            k=self.k, ws=self.ws, r=self.r, rspan=rspan,
+            n_regions=n_regions, mesh=self.mesh,
+        )
+        return d, _summarize_rows(d, starts_dev, meta)

@@ -56,17 +56,27 @@ def test_record_stream_retries_failed_region_fetch(monkeypatch):
     monkeypatch.setattr(
         scan_mod, "_with_retry", lambda fn, attempts=2, delay_s=5.0: _with_retry(fn, attempts, 0.0)
     )
-    flaky_dev = _Flaky(scan_mod._scan_regions_dense, fails=1)
-    monkeypatch.setattr(scan_mod, "_scan_regions_dense", flaky_dev)
+    flaky_dev = _Flaky(scan_mod._scan_regions_summarized, fails=1)
+    monkeypatch.setattr(scan_mod, "_scan_regions_summarized", flaky_dev)
     got = eng.record_stream(codes, thr, codes_dev=eng.prepare_codes(codes))
     assert flaky_dev.calls >= 2  # failed once, retried
     assert got[0] == expected[0] and got[1] == expected[1]
 
-    flaky_rows = _Flaky(scan_mod._scan_region_rows_dense, fails=1)
-    monkeypatch.setattr(scan_mod, "_scan_region_rows_dense", flaky_rows)
+    flaky_rows = _Flaky(scan_mod._scan_region_rows_summarized, fails=1)
+    monkeypatch.setattr(scan_mod, "_scan_region_rows_summarized", flaky_rows)
     got = eng.record_stream(codes, thr)  # nw > 2*chunk -> segmented path
     assert flaky_rows.calls >= 2
     assert got[0] == expected[0] and got[1] == expected[1]
+
+    # the "full" assembly fallback path keeps its own retry coverage
+    eng.assemble_mode = "full"
+    flaky_full = _Flaky(scan_mod._scan_regions_dense, fails=1)
+    monkeypatch.setattr(scan_mod, "_scan_regions_dense", flaky_full)
+    got = eng.record_stream(codes, thr, codes_dev=eng.prepare_codes(codes))
+    assert flaky_full.calls >= 2
+    assert got[0] == expected[0]
+    hits_a = got[1]
+    eng.assemble_mode = "reduced"
 
 
 def test_prepare_codes_retries_failed_transfer(monkeypatch):
@@ -181,3 +191,69 @@ def test_strobe_miner_checkpoint_resume(tmp_path, ref_fasta, test_genome):
     assert [h.description for h in resumed.hits] == [h.description for h in full.hits]
     assert resumed.hit_loci == full.hit_loci
     assert not os.path.exists(ckpt_path)  # completed checkpoints are removed
+
+
+def test_mid_record_segment_resume(tmp_path, ref_fasta):
+    """A record spanning several segments killed mid-scan resumes from the
+    last finished SEGMENT (SURVEY section 5.4 'last completed tile index'),
+    recomputing only the remaining segments and producing identical hits."""
+    from kmergma_tpu.models.miner import mine_genome
+    from kmergma_tpu.utils.fasta import FastaRecord, as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    rng = np.random.default_rng(5)
+    n = 120_000
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, n)]
+    refs = as_records(ref_fasta)
+    for pos in (20_000, 55_000, 90_000):  # plant genes in distinct segments
+        g = refs[pos % len(refs)].seq.upper()
+        seq[pos : pos + len(g)] = np.frombuffer(g, dtype=np.uint8)
+    record = FastaRecord("big", seq.tobytes())
+
+    # small chunks -> segment = 8192 windows -> ~15 segments
+    engine = ScanEngine(
+        profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
+        chunk_windows=4096,
+    )
+    ckpt = str(tmp_path / "seg.ckpt")
+    baseline = mine_genome([record], profile, thr=30, engine=engine, get_hit_loci=True)
+    assert len(baseline.hits) >= 3
+
+    # kill after 4 completed segments
+    real = engine._segmented_bitmaps
+    calls = {"segments": 0}
+
+    def killer(codes, nw, thr_int, tracker=None):
+        class Boom(Exception):
+            pass
+
+        if tracker is not None:
+            orig_done = tracker.done_segment
+
+            def counting_done(si, words):
+                orig_done(si, words)
+                calls["segments"] += 1
+                if calls["segments"] >= 4:
+                    raise KeyboardInterrupt("killed mid-record")
+
+            tracker.done_segment = counting_done
+        return real(codes, nw, thr_int, tracker)
+
+    engine._segmented_bitmaps = killer
+    with pytest.raises(KeyboardInterrupt):
+        mine_genome([record], profile, thr=30, engine=engine,
+                    get_hit_loci=True, checkpoint_path=ckpt)
+    import json
+
+    data = json.load(open(ckpt))
+    assert data["seg_next"] >= 4 and data["seg_record"] == 0
+
+    # resume from the persisted segments
+    engine._segmented_bitmaps = real
+    res = mine_genome([record], profile, thr=30, engine=engine,
+                      get_hit_loci=True, checkpoint_path=ckpt)
+    assert [h.description for h in res.hits] == [h.description for h in baseline.hits]
+    assert res.hit_loci == baseline.hit_loci
+    import os
+
+    assert not os.path.exists(ckpt)  # completed -> checkpoint removed

@@ -1,0 +1,98 @@
+"""Reduced stream assembly (ops/scan.py _run_reduce machinery).
+
+The reduced path fetches per-run (min, first-argmin) + edge values instead
+of every region distance; the resulting MINIMAL stream must replay to
+bit-identical hits (models/state_machine.py consumes nothing else).  These
+tests pin reduced-vs-full replay equality, the exact integer threshold,
+the run extraction, and the borderline fallback guard.
+"""
+
+import numpy as np
+import pytest
+
+from kmergma_tpu.models.state_machine import replay_single
+from kmergma_tpu.ops.kmers import kmer_count
+from kmergma_tpu.ops.scan import ScanEngine, _extract_runs
+
+
+def _engine_and_codes(seed: int, n: int = 60_000, k: int = 5, ws: int = 120, r: int = 3):
+    rng = np.random.default_rng(seed)
+    s = np.zeros(4**k, dtype=np.int64)
+    refs = [rng.integers(0, 4, ws, dtype=np.int8) for _ in range(r)]
+    for ref in refs:
+        s += kmer_count(ref, k).astype(np.int64)
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    # plant mutated copies so below-runs and rising edges exist
+    for pos in range(2000, n - ws - 100, 7000):
+        mutant = refs[pos % r].copy()
+        nmut = rng.integers(0, ws // 4)
+        idx = rng.integers(0, ws, nmut)
+        mutant[idx] = rng.integers(0, 4, nmut)
+        codes[pos : pos + ws] = mutant
+    eng = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1 << 13)
+    return eng, codes
+
+
+@pytest.mark.parametrize("seed,thr", [(0, 13.5), (1, 14.0), (2, 12.0), (3, 13.0)])
+def test_reduced_replay_matches_full(seed, thr):
+    eng, codes = _engine_and_codes(seed)
+    n = codes.shape[0]
+    eng.assemble_mode = "full"
+    d0_f, stream_f, _ = eng.record_stream(codes, thr)
+    eng.assemble_mode = "reduced"
+    d0_r, stream_r, _ = eng.record_stream(codes, thr)
+    assert d0_r == d0_f
+    hits_f = replay_single(stream_f, d0_f, thr, eng.k, eng.ws, n, 50)
+    hits_r = replay_single(stream_r, d0_r, thr, eng.k, eng.ws, n, 50)
+    assert hits_r == hits_f
+    assert len(hits_f) > 0  # the fixture must actually produce hits
+    # the reduced stream is a (proper, for dense runs) subset workload
+    assert len(stream_r) <= len(stream_f)
+
+
+def test_thr_exact_is_the_float64_cutoff():
+    eng, _ = _engine_and_codes(0)
+    for thr in [18.0, 14.25, 21.0, 0.0, 1e-9, 33.333333333]:
+        t = int(eng._thr_exact(thr))
+        for d in range(max(t - 3, 0), t + 3):
+            assert (np.float64(d) / eng.scale < thr) == (d < t), (thr, d, t)
+
+
+def test_borderline_fallback_path():
+    # force the conservative (non-exact) borderline interval so the
+    # summarized pass reports borderline windows and the engine falls back
+    # to the full fetch - results must stay identical
+    eng, codes = _engine_and_codes(1)
+    n = codes.shape[0]
+    thr = 14.0
+    d0_f, stream_f, _ = eng.record_stream(codes, thr)
+
+    eng2, _ = _engine_and_codes(1)
+    eng2._thr_exact = lambda t: eng2._thr_int(t)  # conservative: borderline > 0
+    d0_b, stream_b, _ = eng2.record_stream(codes, thr)
+    assert d0_b == d0_f
+    hits_f = replay_single(stream_f, d0_f, thr, eng.k, eng.ws, n, 50)
+    hits_b = replay_single(stream_b, d0_b, thr, eng.k, eng.ws, n, 50)
+    assert hits_b == hits_f
+
+
+def test_extract_runs_semantics():
+    rspan = 8
+    # regions at windows [0,8) and [8,16) (adjacent) and [32,40) (gap)
+    starts = [0, 8, 32]
+    bits = np.zeros(3 * rspan, dtype=bool)
+    bits[0] = True  # window 0: must be masked (dist0, not in the stream)
+    bits[5:11] = True  # run crossing the adjacent region boundary: 5..10
+    bits[14:16] = True  # run at covered-extent end 14..15: edge would be 16,
+    # which IS covered only if region 2 were adjacent - it is not -> no edge
+    bits[17] = True  # region 2 col 1 = window 33
+    run_lo, run_hi, edge = _extract_runs(bits, starts, rspan, max_index=10**9)
+    assert run_lo.tolist() == [5, 14, 17]
+    assert run_hi.tolist() == [10, 15, 17]
+    assert edge.tolist() == [11, -1, 18]
+
+    # max_index truncation: cut the first run at global window 8
+    run_lo, run_hi, edge = _extract_runs(bits, starts, rspan, max_index=8)
+    assert run_lo.tolist() == [5]
+    assert run_hi.tolist() == [8]
+    assert edge.tolist() == [-1]  # edge at 9 > max_index

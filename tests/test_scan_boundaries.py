@@ -126,10 +126,12 @@ def test_below_runs_straddle_region_boundaries():
     thr_scaled = float(np.percentile(d, 8))
     thr = thr_scaled / eng.scale
     d0_o, st_o = _oracle_stream(codes, s, k, ws, r, thr_scaled)
+    eng.assemble_mode = "full"
     d0_e, st_e, _ = eng.record_stream(codes, thr)
     assert d0_e == d0_o
-    # the engine stream is a SUPERSET (conservative device threshold) with
-    # exact values: every oracle below-threshold entry must appear verbatim
+    # the full-mode engine stream is a SUPERSET (conservative device
+    # threshold) with exact values: every oracle below-threshold entry must
+    # appear verbatim
     got = dict(st_e)
     for j, v in st_o:
         if v < thr:
@@ -138,3 +140,11 @@ def test_below_runs_straddle_region_boundaries():
     h_o = replay_single(st_o, d0_o, thr, k, ws, n, 50)
     h_e = replay_single(st_e, d0_e, thr, k, ws, n, 50)
     assert h_e == h_o and len(h_e) > 0
+
+    # the production REDUCED stream (run minima + edges only) replays
+    # bit-identically through the same straddling-run structure
+    eng.assemble_mode = "reduced"
+    d0_r, st_r, _ = eng.record_stream(codes, thr)
+    assert d0_r == d0_o
+    h_r = replay_single(st_r, d0_r, thr, k, ws, n, 50)
+    assert h_r == h_o

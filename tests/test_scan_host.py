@@ -35,6 +35,7 @@ def test_host_engine_stream_matches_device_engine():
     host = HostScanEngine(s, k=k, ws=ws, r=r)
     _, probe, _ = host.record_stream(codes, thr=1e9)
     thr = float(np.percentile([v for _, v in probe], 5))
+    dev.assemble_mode = "full"  # full streams: element-wise comparison below
     d0_a, stream_a, _ = dev.record_stream(codes, thr)
     d0_b, stream_b, _ = host.record_stream(codes, thr)
     assert d0_a == d0_b
@@ -49,6 +50,12 @@ def test_host_engine_stream_matches_device_engine():
     below_a = sorted((j, v) for j, v in stream_a if v < thr)
     below_b = sorted((j, v) for j, v in stream_b if v < thr)
     assert below_a == below_b
+
+    # the production reduced assembly replays identically
+    dev.assemble_mode = "reduced"
+    d0_r, stream_r, _ = dev.record_stream(codes, thr)
+    hits_r = replay_single(stream_r, d0_r, thr, k, ws, codes.shape[0], buff=10)
+    assert hits_r == hits_b
 
 
 def test_miner_falls_back_beyond_int32(ref_fasta, mini_genome):
