@@ -169,10 +169,21 @@ def test_tp_engine_matches_host_k10():
     d0_h, stream_h, _ = host.record_stream(codes, thr := 120.0)
 
     tp = TPScanEngine(s, k=k, ws=ws, r=r, mesh=make_mesh(8), chunk_windows=4096)
+    tp.assemble_mode = "full"  # full streams: element-wise oracle check
     d0_t, stream_t, _ = tp.record_stream(codes, thr)
     assert d0_t == d0_h
     assert stream_t == stream_h
     assert len(stream_t) > 0
+
+    # reduced assembly (production default): minimal equivalent stream -
+    # identical REPLAY, not identical elements
+    tp.assemble_mode = "reduced"
+    d0_r, stream_r, _ = tp.record_stream(codes, thr)
+    assert d0_r == d0_h
+    hits_h = replay_single(stream_h, d0_h, thr, k, ws, n, 50)
+    hits_r = replay_single(stream_r, d0_r, thr, k, ws, n, 50)
+    assert hits_r == hits_h
+    assert len(stream_r) > 0
     hits_h = replay_single(stream_h, d0_h, thr, k, ws, n, 50)
     hits_t = replay_single(stream_t, d0_t, thr, k, ws, n, 50)
     assert hits_t == hits_h
@@ -210,3 +221,55 @@ def test_mine_genome_routes_big_k_to_tp(monkeypatch):
     res = miner_mod.mine_genome([rec], prof, thr=200.0, do_align=False)
     assert seen.get("used"), "big-k scan did not route through TPScanEngine"
     assert res.stats.records_scanned == 1
+
+
+def test_sharded_fused_matches_split(ref_fasta, mini_genome):
+    """The per-shard FUSED kernel path (carry seeded from each shard's
+    locally computed first-window bound) must produce streams bit-identical
+    to the split sharded pass - interpret mode on the 8-device CPU mesh
+    (VERDICT r3 weak #3 done-criterion)."""
+    from kmergma_tpu.ops.reference import gen_ref_ws_cons
+    from kmergma_tpu.utils.fasta import as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    record = as_records(mini_genome)[0]
+    thr = 30.0
+
+    split = ShardedScanEngine(
+        profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
+        mesh=make_mesh(8), chunk_windows=4096, use_fused=False,
+    )
+    fused = ShardedScanEngine(
+        profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
+        mesh=make_mesh(8), chunk_windows=4096, use_fused=True,
+    )
+    fused.fused_t = 1024  # small tiles so the interpret-mode run stays fast
+    assert fused.sharded_fused
+    a = split.record_stream(record.codes, thr)
+    b = fused.record_stream(record.codes, thr)
+    assert a[:2] == b[:2]
+    assert len(b[1]) > 0
+
+
+def test_sharded_cluster_fused_matches_serial(ref_fasta, mini_genome):
+    """Sharded cluster scan on the per-shard fused MULTI-cluster kernel:
+    bit-identical streams to the serial cluster engine (golden fixture)."""
+    from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+    from kmergma_tpu.utils.fasta import as_records
+
+    clusters = eliminate_null_params(cluster_ref_api(ref_fasta, 6, cutoffs=[7, 12, 20, 25]))
+    record = as_records(mini_genome)[0]
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0]
+
+    serial = ClusterScanEngine(clusters.profiles, k=6, chunk_windows=4096)
+    sharded = ShardedClusterScanEngine(
+        clusters.profiles, k=6, mesh=make_mesh(8), chunk_windows=4096,
+        use_fused=True,
+    )
+    for e in sharded.engines:
+        e.fused_t = 1024
+    assert sharded.sharded_fused
+    a = serial.record_streams(record.codes, thrs)
+    b = sharded.record_streams(record.codes, thrs)
+    assert a == b
