@@ -48,7 +48,7 @@ class TestReader:
 
 
 def test_engine_exact_match_matches_host(test_genome):
-    """The spectrum-anagram engine path must find exactly the true matches."""
+    """The prefix-register engine path must find exactly the true matches."""
     from kmergma_tpu.ops.exact_match import match_starts_engine, match_starts_np
     from kmergma_tpu.utils.fasta import read_fasta
 
@@ -56,10 +56,32 @@ def test_engine_exact_match_matches_host(test_genome):
     sub = rec.seq.upper()
     q = sub[20000:20030]  # real 30-mer from the genome
     assert match_starts_engine(sub, q).tolist() == match_starts_np(sub, q).tolist()
-    # anagram-but-not-match control: shuffled query must yield only its own
-    # true occurrences (usually none)
+    # reversed-query control: must yield only its own true occurrences
+    # (usually none)
     qq = q[::-1]
     assert match_starts_engine(sub, qq).tolist() == match_starts_np(sub, qq).tolist()
+    # short queries (below the 16-base register) ride the masked compare:
+    # plenty of occurrences, same answer
+    for qlen in (3, 7, 15, 16, 17):
+        qs = sub[1000 : 1000 + qlen]
+        assert match_starts_engine(sub, qs).tolist() == match_starts_np(sub, qs).tolist()
+
+
+def test_engine_compiles_once_across_queries(test_genome):
+    """Different queries and query lengths share ONE compiled program
+    (VERDICT r3 weak #5: the old spectrum engine recompiled the full
+    bitmap pipeline per query length)."""
+    from kmergma_tpu.ops import exact_match as em
+    from kmergma_tpu.utils.fasta import read_fasta
+
+    rec = next(read_fasta(test_genome))
+    sub = rec.seq.upper()
+    em.match_starts_engine(sub, sub[100:130])
+    fn = em._prefix_match_bitmaps_fn()
+    size0 = fn._cache_size()
+    em.match_starts_engine(sub, sub[500:541])  # different length + content
+    em.match_starts_engine(sub, sub[900:908])  # below the register width
+    assert fn._cache_size() == size0
 
 
 def test_first_match(ref_fasta):
