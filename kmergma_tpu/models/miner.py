@@ -197,7 +197,9 @@ def mine_genome(
         codes_dev = prefetched.pop(record_idx, None)
         _prefetch_after(record_idx)
         dist0, stream, dists = engine.record_stream(
-            record.codes, thr, collect_dists=do_return_dists, codes_dev=codes_dev
+            record.codes, thr, collect_dists=do_return_dists, codes_dev=codes_dev,
+            # long records resume mid-record from the last finished segment
+            seg_tracker=ckpt.segment_tracker(record_idx) if ckpt else None,
         )
         stats.records_scanned += 1
         stats.bp_scanned += seq_len

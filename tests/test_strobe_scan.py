@@ -88,3 +88,38 @@ def test_strobe_span_engine_hits_match_dense_replay():
     assert len(res.hits) == len(raw) > 0
     for hit, got in zip(raw, res.hits):
         assert f"MatchPos = {hit.start}:{hit.stop}" in got.description
+
+
+def test_device_extract_matches_host_path(ref_fasta, mini_genome):
+    """strobe_mine_genome's device-extraction path (the one bench.py times:
+    quarter-packed genome H2D -> strobe_2_mer_codes_jnp -> span engine) must
+    produce the same hits as host extraction (VERDICT r3 weak #2)."""
+    from kmergma_tpu.models.strobe_miner import gen_strobe_ref_ws_cons, strobe_mine_genome
+
+    prof = gen_strobe_ref_ws_cons(ref_fasta)
+    host = strobe_mine_genome(
+        mini_genome, prof, thr=30.0, get_hit_loci=True, device_extract=False
+    )
+    dev = strobe_mine_genome(
+        mini_genome, prof, thr=30.0, get_hit_loci=True, device_extract=True
+    )
+    assert [h.description for h in dev.hits] == [h.description for h in host.hits]
+    assert dev.hit_loci == host.hit_loci
+    assert len(dev.hits) > 0
+
+
+def test_device_extract_with_genome_dev(ref_fasta, mini_genome):
+    """The genome_dev fast path (device-resident genome codes, as the bench
+    supplies) matches the transfer path."""
+    import jax.numpy as jnp
+
+    from kmergma_tpu.models.strobe_miner import gen_strobe_ref_ws_cons, strobe_mine_genome
+    from kmergma_tpu.utils.fasta import as_records
+
+    prof = gen_strobe_ref_ws_cons(ref_fasta)
+    rec = as_records(mini_genome)[0]
+    pad = np.zeros(1 << 16, dtype=np.int8)
+    gdev = jnp.asarray(np.concatenate([rec.codes, pad]))
+    a = strobe_mine_genome([rec], prof, thr=30.0, device_extract=True)
+    b = strobe_mine_genome([rec], prof, thr=30.0, genome_dev=[gdev])
+    assert [h.description for h in a.hits] == [h.description for h in b.hits]
