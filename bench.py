@@ -310,11 +310,38 @@ def main() -> None:
             f"({dmbps:.0f} Mbp/s); {len(stream)} candidates -> {len(dhits)} hits"
         )
 
+        # ---- alignment cost at hit-dense scale (the honest do_align row:
+        # VERDICT r4 item 4 - every timed loop above excludes alignment) ----
+        t0 = time.perf_counter()
+        gcodes_d = np.asarray(dprep.dev[:dense_bp])
+        gseq = np.frombuffer(b"ACGT", dtype=np.uint8)[gcodes_d].tobytes()
+        gfetch_s = time.perf_counter() - t0
+        from kmergma_tpu.ops.align import semiglobal_align_batch
+
+        def run_align():
+            windows = [
+                gseq[h.start - 1 : h.stop].decode("ascii").upper() for h in dhits
+            ]
+            return semiglobal_align_batch(profile.consensus_ws, windows)
+
+        run_align()
+        abest = _time_best(run_align, repeats=3)
+        result["align_s"] = round(abest, 3)
+        result["hit_dense_aligned_mbps"] = round(dense_bp / (dbest + abest) / 1e6, 2)
+        note(
+            f"# align: {len(dhits)} hits batch-aligned in {abest*1e3:.0f} ms "
+            f"({abest/(dbest+abest)*100:.0f}% of scan+align; genome fetch for "
+            f"sequence bytes {gfetch_s:.1f}s, one-time) -> "
+            f"{result['hit_dense_aligned_mbps']:.0f} Mbp/s end-to-end"
+        )
+
         # ---- cluster mode: m profiles, one fused pass ----
         clusters = eliminate_null_params(cluster_ref_api(ref_path, 6, cutoffs=[7, 12, 20, 25]))
         m = len(clusters.profiles)
         thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][:m]
         ceng = ClusterScanEngine(clusters.profiles, k=6, **eng_kwargs)
+        if os.environ.get("BENCH_CLUSTER_LOOKUP"):
+            ceng.lookup_dtype = os.environ["BENCH_CLUSTER_LOOKUP"]
         # the dense device genome is padded for max_ws+1, so the cluster
         # engines (max ws 290) can share it without a second transfer
         cprep = dprep
@@ -350,64 +377,87 @@ def main() -> None:
         )
         del cprep, dprep
 
-        # ---- strobemer scan: production span engine over a dense genome ----
-        # (extraction runs ON DEVICE - ops.strobemers.strobe_2_mer_codes_jnp -
-        # so the timed loop covers extraction + span scan + replay with the
-        # genome resident, same measurement model as the headline)
-        if os.environ.get("BENCH_SKIP_STROBE", "") != "1":
-            import jax
-            import jax.numpy as jnp
+        # ---- big-k single chip: k=10 (4^10 = 1M bins) ----
+        # Past profile_lookup's one-hot MXU limit the pruned pass rides the
+        # XLA table gather; this row pins that regime's single-chip rate
+        # (VERDICT r4 item 5).  Opt-in while the relay compile cost of the
+        # k=10 XLA graph is unmeasured: BENCH_K10=1.
+        if os.environ.get("BENCH_K10", "") == "1":
+            k10_mbp = float(os.environ.get("BENCH_K10_MBP", "64"))
+            k10_bp = int(k10_mbp * 1e6)
+            p10 = gen_ref_ws_cons(ref_path, 10)
+            e10 = ScanEngine(
+                p10.sum_kfv, k=10, ws=p10.windowsize, r=p10.n_records, **eng_kwargs
+            )
+            prep10 = _device_random_genome(e10, k10_bp, seed=17, max_ws=p10.windowsize + 1)
+            _ = np.asarray(prep10.dev[:4])
+            shape10 = np.zeros(k10_bp, dtype=np.int8)
+            t0 = time.perf_counter()
+            e10.record_stream(shape10, 40.0, codes_dev=prep10)  # warmup
+            k10_first = time.perf_counter() - t0
 
-            from kmergma_tpu.models.strobe_miner import StrobeSpanEngine, gen_strobe_ref_ws_cons
-            from kmergma_tpu.ops.scan import PreparedCodes
-            from kmergma_tpu.ops.strobemers import strobe_2_mer_codes_jnp
+            def run_k10():
+                e10.record_stream(shape10, 40.0, codes_dev=prep10)
+
+            k10_best = _time_best(run_k10)
+            result["k10_mbps"] = round(k10_bp / k10_best / 1e6, 2)
+            note(
+                f"# k=10: {k10_mbp:.0f} Mbp single-chip in {k10_best:.2f}s "
+                f"({result['k10_mbps']:.0f} Mbp/s; first pass incl. compile {k10_first:.0f}s)"
+            )
+            del prep10
+
+        # ---- strobemer scan: the PRODUCTION miner end-to-end ----
+        # strobe_mine_genome itself is timed (VERDICT r4: bench and
+        # production are the same path): device extraction
+        # (strobe_2_mer_codes_jnp over the resident genome via genome_dev),
+        # span scan, replay, and hit-record formatting all inside the loop.
+        if os.environ.get("BENCH_SKIP_STROBE", "") != "1":
+            from kmergma_tpu.models.strobe_miner import (
+                StrobeSpanEngine,
+                gen_strobe_ref_ws_cons,
+                strobe_mine_genome,
+            )
+            from kmergma_tpu.utils.fasta import FastaRecord
 
             strobe_mbp = float(os.environ.get("BENCH_STROBE_MBP", "64"))
             strobe_bp = int(strobe_mbp * 1e6)
             sprof = gen_strobe_ref_ws_cons(ref_path)
-            w = sprof.windowsize - sprof.k
-            n_steps = strobe_bp - sprof.windowsize - 1
-            nw_s = n_steps + 1
             sthr = 30.0
+            chunk_kw = {}
+            if "chunk_windows" in eng_kwargs:
+                chunk_kw["chunk_windows"] = eng_kwargs["chunk_windows"]
 
             # base genome with planted genes (device-resident, as above)
-            e_tmp = StrobeSpanEngine(sprof, 0, **eng_kwargs)
+            e_tmp = StrobeSpanEngine(sprof, 0, **chunk_kw)
             bprep = _device_random_genome(e_tmp, strobe_bp, seed=3, max_ws=sprof.windowsize + 1)
             bprep, _n = _plant_genes_device(bprep, refs, strobe_bp, spacing=500_000)
-            sc_total = bprep.dev.shape[0]  # extraction output padded like codes
+            # one genome fetch OUTSIDE the loop so hit records format from
+            # real sequence bytes (production reads the fasta from disk)
+            t0 = time.perf_counter()
+            gcodes = np.asarray(bprep.dev[:strobe_bp])
+            seq = np.frombuffer(b"ACGT", dtype=np.uint8)[gcodes].tobytes()
+            srec = FastaRecord("bench_strobe", seq, _codes=gcodes.astype(np.int8))
+            fetch_s = time.perf_counter() - t0
 
-            @jax.jit
-            def extract(codes_dev):
-                sc = strobe_2_mer_codes_jnp(
-                    codes_dev, sprof.s, sprof.w_min, sprof.w_max, sprof.q
-                )
-                return jnp.pad(sc, (0, sc_total - sc.shape[0]))
-
-            sc0 = extract(bprep.dev)
-            xstar = int(np.asarray(sc0[w : w + 1])[0])
-            eng = StrobeSpanEngine(sprof, xstar, **eng_kwargs)
-            sshape = np.zeros(nw_s + eng.ws - 1, dtype=np.int32)
-
-            s_cand = 0
+            sres = None
 
             def run_strobe():
-                nonlocal s_cand
-                sc_dev = extract(bprep.dev)
-                d0, stream, _ = eng.record_stream(
-                    sshape, sthr, codes_dev=PreparedCodes(sc_dev, bprep.n_spans)
+                nonlocal sres
+                sres = strobe_mine_genome(
+                    [srec], sprof, thr=sthr, do_align=False,
+                    genome_dev=[bprep.dev], **chunk_kw,
                 )
-                s_cand = len(stream)
-                return replay_single(stream, d0, sthr, sprof.k, sprof.windowsize, strobe_bp, 50)
 
             run_strobe()  # warmup compiles
             sbest = _time_best(run_strobe, repeats=4)
-            shits = run_strobe()
             smbps = strobe_bp / sbest / 1e6
             result["strobe_mbps"] = round(smbps, 2)
-            result["strobe_hits"] = len(shits)
+            result["strobe_hits"] = len(sres.hits)
             note(
-                f"# strobe: {strobe_mbp:.0f} Mbp (device extraction + span scan + replay) in "
-                f"{sbest:.2f}s ({smbps:.0f} Mbp/s); {s_cand} candidates -> {len(shits)} hits"
+                f"# strobe: {strobe_mbp:.0f} Mbp strobe_mine_genome (device extraction + "
+                f"span scan + replay + hit formatting) in {sbest:.2f}s ({smbps:.0f} Mbp/s); "
+                f"{len(sres.hits)} hits; one-time genome fetch {fetch_s:.1f}s"
             )
             del bprep
 

@@ -55,13 +55,16 @@ def _interpret_default() -> bool:
 def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f32"):
     """g[c][r, i] = S_c[kcodes[r, i]] for all m profiles.
 
-    t2_ref: row-stacked pre-transposed tables - (m*half, half) f32, or
+    t2_ref: row-stacked pre-transposed tables - (m*half, half) f32;
     (2*m*half, half) bf16 holding the 8-bit hi/lo limbs of every table
     (``lookup_dtype="bf16"``: bf16 runs the MXU at 4x the f32 rate on v5e;
     limbs < 256 are bf16-exact, 0/1 one-hots are exact, and the MXU
-    accumulates in f32, so 256*hi + lo reconstructs S exactly - the
-    headroom guard bounds |S| < 2^16).  Returns m int32 arrays shaped like
-    ``kcodes``.
+    accumulates in f32, so 256*hi + lo reconstructs S exactly); or
+    (ceil(m/2)*half, half) f32 with PAIRS of profiles packed into one
+    table entry 4096*S_2c + S_2c+1 (``lookup_dtype="f32pack"``: halves the
+    dot's M dimension - and its FLOPs - while staying f32-exact because
+    packed values < 2^24; requires max(S_c) < 4096, checked by the engine).
+    Returns m int32 arrays shaped like ``kcodes``.
     """
     rows, lk = kcodes.shape
     hi = kcodes // half
@@ -81,7 +84,20 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
             ).astype(oh_dtype)
             sel_all = jax.lax.dot_general(
                 t2, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # f32 (m*half | 2*m*half, C): sel_all[c*half+u, i] = limb_c[half*hi[i] + u]
+            )  # f32 (m*half | 2*m*half | ceil(m/2)*half, C)
+            if lookup_dtype == "f32pack":
+                for c2 in range(-(-m // 2)):
+                    sel = sel_all[c2 * half : (c2 + 1) * half, :]
+                    h = half // 2
+                    while h >= 1:
+                        take_hi = (loc & h) != 0
+                        sel = jnp.where(take_hi, sel[h : 2 * h, :], sel[:h, :])
+                        h //= 2
+                    packed = sel.astype(jnp.int32)
+                    out_rows[2 * c2].append(packed // 4096)
+                    if 2 * c2 + 1 < m:
+                        out_rows[2 * c2 + 1].append(packed % 4096)
+                continue
             for c in range(m):
                 sel = sel_all[c * half : (c + 1) * half, :]
                 if lookup_dtype == "bf16":
@@ -222,6 +238,14 @@ def fused_cluster_record_bitmaps(
         t2 = jnp.concatenate(
             [jnp.floor(t2f / 256.0), jnp.mod(t2f, 256.0)]
         ).astype(jnp.bfloat16)
+    elif lookup_dtype == "f32pack":
+        # pair-packed tables (see _mxu_multi_lookup): 4096*S_2c + S_2c+1
+        stacked = t2f.reshape(m, half, half)
+        if m % 2:
+            stacked = jnp.concatenate(
+                [stacked, jnp.zeros((1, half, half), jnp.float32)]
+            )
+        t2 = (4096.0 * stacked[0::2] + stacked[1::2]).reshape(-1, half)
     else:
         t2 = t2f
     grid = (n_tiles // ROWS,)

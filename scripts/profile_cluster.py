@@ -36,7 +36,12 @@ dense_bp = int(float(os.environ.get("BENCH_DENSE_MBP", "64")) * 1e6)
 clusters = eliminate_null_params(cluster_ref_api(ref_path, 6, cutoffs=[7, 12, 20, 25]))
 m = len(clusters.profiles)
 thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][:m]
-ceng = ClusterScanEngine(clusters.profiles, k=6)
+eng_kwargs = {}
+if os.environ.get("BENCH_DEPTH"):
+    eng_kwargs["bound_depth"] = int(os.environ["BENCH_DEPTH"])
+if os.environ.get("BENCH_CHUNK"):
+    eng_kwargs["chunk_windows"] = int(os.environ["BENCH_CHUNK"])
+ceng = ClusterScanEngine(clusters.profiles, k=6, **eng_kwargs)
 print(f"m={m} groups={[(g[0], g[1], len(g[2])) for g in ceng.groups]} "
       f"chunk={ceng.chunk}", flush=True)
 
@@ -106,13 +111,17 @@ t_bm = min(t_bm, t_bm2)
 if ceng.use_fused:
     split_by_c = np.transpose(np.asarray(bm), (1, 0, 2)).reshape(m, -1)
     n_blocks = -(-int(n_valids.max()) // ceng.block)
-    for ld in ("f32", "bf16"):
+    best_ld, best_t = "f32", float("inf")
+    for ld in ("f32", "bf16", "f32pack"):
         ceng.lookup_dtype = ld
         fb, t_f = t(f"C3. fused cluster kernel {ld}", lambda: ceng._fused_cluster_bitmaps(prep, n_valids, thr_ints))
         for c in range(m):
             assert fb[c][:n_blocks].astype(bool).tolist() == split_by_c[c][:n_blocks].astype(bool).tolist(), f"cluster {c} {ld}"
-    print("   fused == split bitmaps: True", flush=True)
-    ceng.lookup_dtype = "bf16"
+        if t_f < best_t:
+            best_ld, best_t = ld, t_f
+    print(f"   fused == split bitmaps: True; fastest lookup: {best_ld}", flush=True)
+    ceng.lookup_dtype = best_ld
+    t_bm = best_t
 
 # stream assembly + replay (the rest of record_streams)
 def streams_fn():

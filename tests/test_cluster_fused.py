@@ -68,7 +68,7 @@ def test_fused_cluster_bitmaps_match_split(clusters):
     m = len(eng.engines)
     split_by_c = np.transpose(split, (1, 0, 2)).reshape(m, -1)
     n_blocks = -(-nw_max // block)
-    for lookup_dtype in ("f32", "bf16"):
+    for lookup_dtype in ("f32", "bf16", "f32pack"):
         fused = np.asarray(
             fused_cluster_record_bitmaps(
                 prep.dev, eng.s_stack, meta, k=6, specs=specs, depth=depth,
