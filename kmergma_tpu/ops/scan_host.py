@@ -94,7 +94,7 @@ class HostScanEngine:
             d = scan_window_distances_np_i64(codes, self.s64, self.k, self.ws, self.r)
         return d
 
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None):
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
         codes = np.asarray(codes, dtype=np.int8)
         nw = codes.shape[0] - self.ws + 1
         assert nw >= 1
