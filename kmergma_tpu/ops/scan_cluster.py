@@ -233,6 +233,7 @@ class ClusterScanEngine:
             for (ws, depth), cis in sorted(by_key.items())
         )
         self.s_stack = jnp.stack([e.s_dev for e in self.engines])
+        self._s_max = max(int(np.max(p.sum_kfv)) for p in profiles)
         self._small_cache: dict = {}
         depths = {g[1] for g in self.groups}
         if use_fused is None:
@@ -305,10 +306,13 @@ class ClusterScanEngine:
         specs = tuple((e.ws - self.k + 1, e.r) for e in self.engines)
         from .scan import _pack_bitmap_words, _unpack_bitmap_words
 
+        ld = self.lookup_dtype
+        if ld == "f32pack" and self._s_max >= 256:
+            ld = "f32"  # pair packing needs 8-bit table entries
         handle = fused_cluster_record_bitmaps(
             prep.dev, self.s_stack, meta,
             k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-            n_tiles=n_tiles, lookup_dtype=self.lookup_dtype,
+            n_tiles=n_tiles, lookup_dtype=ld,
         )  # (n_tiles, m * (t // block))
         m = len(self.engines)
         tb = t // self.block

@@ -61,10 +61,15 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
     limbs < 256 are bf16-exact, 0/1 one-hots are exact, and the MXU
     accumulates in f32, so 256*hi + lo reconstructs S exactly); or
     (ceil(m/2)*half, half) f32 with PAIRS of profiles packed into one
-    table entry 4096*S_2c + S_2c+1 (``lookup_dtype="f32pack"``: halves the
-    dot's M dimension - and its FLOPs - while staying f32-exact because
-    packed values < 2^24; requires max(S_c) < 4096, checked by the engine).
-    Returns m int32 arrays shaped like ``kcodes``.
+    table entry 256*S_2c + S_2c+1 (``lookup_dtype="f32pack"``: halves the
+    dot's M dimension - and its FLOPs).  Packed values are 16-bit ints, so
+    the product against an exactly-bf16 0/1 one-hot stays exact under
+    bf16_3x (HIGH) MXU decomposition: the one-hot's single limb times the
+    table's two high limbs covers all 16 bits - the dot requests
+    precision=HIGH explicitly (a 24-bit 4096-field packing was measured
+    WRONG on v5e: the default decomposition keeps only ~16 table mantissa
+    bits against a one-limb operand).  Requires max(S_c) < 256, checked by
+    the engine.  Returns m int32 arrays shaped like ``kcodes``.
     """
     rows, lk = kcodes.shape
     hi = kcodes // half
@@ -83,7 +88,11 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
                 jax.lax.broadcasted_iota(jnp.int32, (half, e - s), 0) == hic
             ).astype(oh_dtype)
             sel_all = jax.lax.dot_general(
-                t2, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                t2, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGH if lookup_dtype == "f32pack" else None
+                ),
             )  # f32 (m*half | 2*m*half | ceil(m/2)*half, C)
             if lookup_dtype == "f32pack":
                 for c2 in range(-(-m // 2)):
@@ -94,9 +103,9 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
                         sel = jnp.where(take_hi, sel[h : 2 * h, :], sel[:h, :])
                         h //= 2
                     packed = sel.astype(jnp.int32)
-                    out_rows[2 * c2].append(packed // 4096)
+                    out_rows[2 * c2].append(packed // 256)
                     if 2 * c2 + 1 < m:
-                        out_rows[2 * c2 + 1].append(packed % 4096)
+                        out_rows[2 * c2 + 1].append(packed % 256)
                 continue
             for c in range(m):
                 sel = sel_all[c * half : (c + 1) * half, :]
@@ -239,13 +248,13 @@ def fused_cluster_record_bitmaps(
             [jnp.floor(t2f / 256.0), jnp.mod(t2f, 256.0)]
         ).astype(jnp.bfloat16)
     elif lookup_dtype == "f32pack":
-        # pair-packed tables (see _mxu_multi_lookup): 4096*S_2c + S_2c+1
+        # pair-packed tables (see _mxu_multi_lookup): 256*S_2c + S_2c+1
         stacked = t2f.reshape(m, half, half)
         if m % 2:
             stacked = jnp.concatenate(
                 [stacked, jnp.zeros((1, half, half), jnp.float32)]
             )
-        t2 = (4096.0 * stacked[0::2] + stacked[1::2]).reshape(-1, half)
+        t2 = (256.0 * stacked[0::2] + stacked[1::2]).reshape(-1, half)
     else:
         t2 = t2f
     grid = (n_tiles // ROWS,)

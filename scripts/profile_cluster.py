@@ -115,11 +115,14 @@ if ceng.use_fused:
     for ld in ("f32", "bf16", "f32pack"):
         ceng.lookup_dtype = ld
         fb, t_f = t(f"C3. fused cluster kernel {ld}", lambda: ceng._fused_cluster_bitmaps(prep, n_valids, thr_ints))
-        for c in range(m):
-            assert fb[c][:n_blocks].astype(bool).tolist() == split_by_c[c][:n_blocks].astype(bool).tolist(), f"cluster {c} {ld}"
-        if t_f < best_t:
+        ok = all(
+            fb[c][:n_blocks].astype(bool).tolist() == split_by_c[c][:n_blocks].astype(bool).tolist()
+            for c in range(m)
+        )
+        print(f"   {ld}: bitmaps {'MATCH' if ok else 'MISMATCH (excluded)'}", flush=True)
+        if ok and t_f < best_t:
             best_ld, best_t = ld, t_f
-    print(f"   fused == split bitmaps: True; fastest lookup: {best_ld}", flush=True)
+    print(f"   fastest exact lookup: {best_ld}", flush=True)
     ceng.lookup_dtype = best_ld
     t_bm = best_t
 
