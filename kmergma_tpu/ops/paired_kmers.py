@@ -99,3 +99,61 @@ def kmer_pair_count_into(seq, k: int, bins: np.ndarray) -> None:
                 inner[t] = kj
         idx = ((inner << (k << 1)) | ki)
         np.add.at(bins, idx, 1.0)
+
+
+def kmer_pair_count_device(seq, k: int = 3) -> np.ndarray:
+    """Device paired spectrum, bit-identical to ``kmer_pair_count``.
+
+    TPU-native reformulation of the reference's O(n^2) nested rolling loop
+    (ref PairedKmers.jl:36-50): both registers are plain rolling k-mer code
+    streams of the SAME sequence (the outer register ki[p] and the inner
+    pass-1 stream are literally ``rolling_kmer_codes(codes, k)``; the
+    steady-state inner stream differs only in its first k-1 positions,
+    where the carried register mixes the sequence tail - the reference's
+    famous carry quirk).  The p >= 1 passes all share one inner stream, so
+    their joint counts factor into an OUTER PRODUCT of two histograms:
+
+        bins[(v << 2k) | u] = cv[v] * cu[u]   (+ the pass-0 column)
+
+    O(n + 4^2k) work instead of O(n^2): the histograms run on device
+    (segment_sum), the tiny outer product on host in float64 (products up
+    to n^2 exceed int32).  Equality with the host loop is fuzz-pinned in
+    tests/test_paired_strobe_rss.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .scan import rolling_kmer_codes_jnp
+
+    codes = _codes(seq)
+    n = codes.shape[0]
+    nbins2 = 4 ** (2 * k)
+    bins = np.zeros(nbins2, dtype=np.float64)
+    m = n - (k - 1)
+    if m <= 0:
+        return bins
+    nb = 4**k
+    mask = nb - 1
+
+    @jax.jit
+    def device_part(codes_dev):
+        kc = rolling_kmer_codes_jnp(codes_dev, k)  # ki[p] AND the pass-1 stream
+        # steady-state inner head: carry = code of the sequence tail
+        carry = kc[kc.shape[0] - 1]
+        head = []
+        for t in range(min(k - 1, m)):  # short sequences: m < k-1 head entries
+            carry = ((carry << 2) & mask) + codes_dev[k - 1 + t].astype(jnp.int32)
+            head.append(carry)
+        pass_rest = (
+            jnp.concatenate([jnp.stack(head), kc[len(head) :]]) if head else kc
+        )
+        ones = jnp.ones(kc.shape[0], dtype=jnp.int32)
+        cu = jax.ops.segment_sum(ones[1:], kc[1:], num_segments=nb)
+        cv = jax.ops.segment_sum(ones, pass_rest, num_segments=nb)
+        c1 = jax.ops.segment_sum(ones, kc, num_segments=nb)  # pass-0 inner
+        return cu, cv, c1, kc[0]
+
+    cu, cv, c1, u0 = (np.asarray(x) for x in device_part(jnp.asarray(codes)))
+    out = cv.astype(np.float64)[:, None] * cu.astype(np.float64)[None, :]
+    out[:, int(u0)] += c1.astype(np.float64)
+    return out.reshape(-1)

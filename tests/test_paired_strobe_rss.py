@@ -103,3 +103,20 @@ def test_strobe_codes_jnp_matches_numpy():
         want = strobe_2_mer_codes(codes, s, w_min, w_max, q)
         got = np.asarray(strobe_2_mer_codes_jnp(jnp.asarray(codes), s, w_min, w_max, q))
         assert got.tolist() == want.tolist(), (s, w_min, w_max, q)
+
+
+def test_paired_kmer_device_matches_host_fuzz():
+    """kmer_pair_count_device (rolling codes + histogram outer product)
+    must equal the host O(n^2) loop bit-for-bit, including the carried
+    inner-register quirk in the first k-1 steady-state positions."""
+    from kmergma_tpu.ops.paired_kmers import kmer_pair_count, kmer_pair_count_device
+
+    rng = np.random.default_rng(3)
+    for k in (1, 2, 3, 4):
+        for n in (0, 1, 2, k - 1, k, k + 1, 7, 50, 333):
+            if n < 0:
+                continue
+            codes = rng.integers(0, 4, n, dtype=np.int8)
+            host = kmer_pair_count(codes, k)
+            dev = kmer_pair_count_device(codes, k)
+            assert dev.tolist() == host.tolist(), (k, n)
