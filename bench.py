@@ -441,12 +441,13 @@ def main() -> None:
             fetch_s = time.perf_counter() - t0
 
             sres = None
+            s_engines = {}
 
             def run_strobe():
                 nonlocal sres
                 sres = strobe_mine_genome(
                     [srec], sprof, thr=sthr, do_align=False,
-                    genome_dev=[bprep.dev], **chunk_kw,
+                    genome_dev=[bprep.dev], engine_cache=s_engines, **chunk_kw,
                 )
 
             run_strobe()  # warmup compiles

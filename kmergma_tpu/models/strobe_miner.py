@@ -119,22 +119,29 @@ class StrobeSpanEngine(ScanEngine):
         self.scale = 2.0 * p.k * p.n_records * p.n_records
 
 
+_extract_jit = None
+
+
 def _strobe_extract_padded(codes_dev, *, s, w_min, w_max, q, total):
     """Device strobemer extraction padded to the span engine's layout
-    (int32; jit key = (strobe params, genome bucket, span bucket))."""
+    (int32; ONE module-level jit - keyed by (strobe params, genome bucket,
+    span bucket) - so repeated records reuse the trace)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.strobemers import strobe_2_mer_codes_jnp
+    global _extract_jit
+    if _extract_jit is None:
+        from ..ops.strobemers import strobe_2_mer_codes_jnp
 
-    @partial(jax.jit, static_argnames=("s", "w_min", "w_max", "q", "total"))
-    def run(codes_dev, *, s, w_min, w_max, q, total):
-        sc = strobe_2_mer_codes_jnp(codes_dev, s, w_min, w_max, q).astype(jnp.int32)
-        if sc.shape[0] >= total:
-            return jax.lax.slice(sc, (0,), (total,))
-        return jnp.pad(sc, (0, total - sc.shape[0]))
+        @partial(jax.jit, static_argnames=("s", "w_min", "w_max", "q", "total"))
+        def run(codes_dev, *, s, w_min, w_max, q, total):
+            sc = strobe_2_mer_codes_jnp(codes_dev, s, w_min, w_max, q).astype(jnp.int32)
+            if sc.shape[0] >= total:
+                return jax.lax.slice(sc, (0,), (total,))
+            return jnp.pad(sc, (0, total - sc.shape[0]))
 
-    return run(codes_dev, s=s, w_min=w_min, w_max=w_max, q=q, total=total)
+        _extract_jit = run
+    return _extract_jit(codes_dev, s=s, w_min=w_min, w_max=w_max, q=q, total=total)
 
 
 def _genome_codes_to_device(codes: np.ndarray):
@@ -181,6 +188,7 @@ def strobe_mine_genome(
     checkpoint_path: str | None = None,
     genome_dev: "list | None" = None,
     device_extract: bool | None = None,
+    engine_cache: "dict | None" = None,
 ) -> MineResult:
     """Mine a genome with the strobemer engine.
 
@@ -214,7 +222,11 @@ def strobe_mine_genome(
 
     res = MineResult()
     dist_parts: list[np.ndarray] = []
-    engines: dict[int, StrobeSpanEngine] = {}  # per x* (usually one)
+    # per x* (usually one); ``engine_cache`` lets repeated calls (timed
+    # loops, many small genomes) reuse engines and their device caches
+    engines: dict[int, StrobeSpanEngine] = (
+        engine_cache if engine_cache is not None else {}
+    )
 
     ckpt = None
     if checkpoint_path is not None:

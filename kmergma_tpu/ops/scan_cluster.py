@@ -263,11 +263,16 @@ class ClusterScanEngine:
         #: minimum max-cluster window count for the fused kernel (tiny
         #: records are cheaper through the split pass; tests lower this)
         self.fused_min_windows = 1 << 16
-        #: in-kernel lookup precision.  Both exact; measured on v5e
-        #: (64 Mbp, m=6): f32 158.7 ms vs bf16 limb-split 204.8 ms - the
-        #: (m*half, half) dots are layout/latency-bound, not FLOP-bound, so
-        #: the doubled-M bf16 dot + limb recombine LOSES; f32 is default
-        self.lookup_dtype = "f32"
+        #: in-kernel lookup precision.  "auto" (default) self-validates the
+        #: pair-packed f32 lookup (f32pack: half the MXU work, r4 measured
+        #: 79 vs 98 ms per 64 Mbp at m=6) against plain f32 on the FIRST
+        #: fused record of this engine and keeps it only on bit-equality -
+        #: its exactness depends on the chip's f32 dot decomposition
+        #: keeping >= 16 table mantissa bits (a 24-bit packing was measured
+        #: wrong on v5e), so it is never trusted unverified.  Explicit
+        #: "f32" / "bf16" / "f32pack" skip the self-check.
+        self.lookup_dtype = "auto" if self._s_max < 256 and len(profiles) >= 2 else "f32"
+        self._auto_resolved: str | None = None
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(
@@ -309,6 +314,22 @@ class ClusterScanEngine:
         ld = self.lookup_dtype
         if ld == "f32pack" and self._s_max >= 256:
             ld = "f32"  # pair packing needs 8-bit table entries
+        if ld == "auto":
+            ld = self._auto_resolved
+            if ld is None:
+                # first fused record: run BOTH lookups once and keep
+                # f32pack only if its bitmaps equal f32's bit-for-bit on
+                # THIS chip (exactness is decomposition-dependent)
+                run = lambda d: fused_cluster_record_bitmaps(
+                    prep.dev, self.s_stack, meta,
+                    k=self.k, specs=specs, depth=depth, t=t, block=self.block,
+                    n_tiles=n_tiles, lookup_dtype=d,
+                )
+                ref = np.asarray(run("f32"))
+                cand = np.asarray(run("f32pack"))
+                ld = self._auto_resolved = (
+                    "f32pack" if np.array_equal(ref, cand) else "f32"
+                )
         handle = fused_cluster_record_bitmaps(
             prep.dev, self.s_stack, meta,
             k=self.k, specs=specs, depth=depth, t=t, block=self.block,

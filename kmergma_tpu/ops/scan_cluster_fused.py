@@ -62,14 +62,15 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
     accumulates in f32, so 256*hi + lo reconstructs S exactly); or
     (ceil(m/2)*half, half) f32 with PAIRS of profiles packed into one
     table entry 256*S_2c + S_2c+1 (``lookup_dtype="f32pack"``: halves the
-    dot's M dimension - and its FLOPs).  Packed values are 16-bit ints, so
-    the product against an exactly-bf16 0/1 one-hot stays exact under
-    bf16_3x (HIGH) MXU decomposition: the one-hot's single limb times the
-    table's two high limbs covers all 16 bits - the dot requests
-    precision=HIGH explicitly (a 24-bit 4096-field packing was measured
-    WRONG on v5e: the default decomposition keeps only ~16 table mantissa
-    bits against a one-limb operand).  Requires max(S_c) < 256, checked by
-    the engine.  Returns m int32 arrays shaped like ``kcodes``.
+    dot's M dimension - and its FLOPs).  Packed values are 16-bit ints:
+    exact iff the Mosaic f32 dot's decomposition keeps >= 16 table
+    mantissa bits against the exactly-representable 0/1 one-hot (a 24-bit
+    4096-field packing was measured WRONG on v5e, so the margin is real;
+    Mosaic rejects explicit precision=HIGH, leaving the default).  The
+    engine enables this variant only after the profile ablation's
+    bitmap-equality check passes on the target chip.  Requires
+    max(S_c) < 256, checked by the engine.  Returns m int32 arrays shaped
+    like ``kcodes``.
     """
     rows, lk = kcodes.shape
     hi = kcodes // half
@@ -90,9 +91,6 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
             sel_all = jax.lax.dot_general(
                 t2, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=(
-                    jax.lax.Precision.HIGH if lookup_dtype == "f32pack" else None
-                ),
             )  # f32 (m*half | 2*m*half | ceil(m/2)*half, C)
             if lookup_dtype == "f32pack":
                 for c2 in range(-(-m // 2)):
