@@ -23,9 +23,9 @@ import numpy as np
 
 from ..ops.align import (
     AlignResult,
+    align_hits_batch,
     cigar_to_unitrange,
     semiglobal_align,
-    semiglobal_align_batch,
 )
 from ..ops.reference import RefProfile
 from ..ops.scan import ScanEngine
@@ -220,7 +220,7 @@ def mine_genome(
                 record.seq[h.start - 1 : h.stop].decode("ascii").upper()
                 for h in raw_hits
             ]
-            alns = semiglobal_align_batch(consensus_ws, windows, gap_open, gap_extend)
+            alns = align_hits_batch(consensus_ws, windows, gap_open, gap_extend)
         for hit_i, hit in enumerate(raw_hits):
             start, stop = hit.start, hit.stop
             if do_align:

@@ -18,7 +18,7 @@ from functools import partial
 
 import numpy as np
 
-from ..ops.align import cigar_to_unitrange, semiglobal_align_batch
+from ..ops.align import align_hits_batch, cigar_to_unitrange
 from ..ops.consensus import Profile
 from ..ops.scan import ScanEngine
 from ..ops.strobemers import strobe_2_mer_codes, ungapped_strobe_2_mer_count_into
@@ -318,7 +318,7 @@ def strobe_mine_genome(
                 record.seq[h.start - 1 : h.stop].decode("ascii").upper()
                 for h in raw_hits
             ]
-            alns = semiglobal_align_batch(consensus_ws, windows, gap_open, gap_extend)
+            alns = align_hits_batch(consensus_ws, windows, gap_open, gap_extend)
         for hit_i, hit in enumerate(raw_hits):
             lo, hi = hit.start, hit.stop
             rng = (lo, hi)

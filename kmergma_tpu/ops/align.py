@@ -213,6 +213,39 @@ def semiglobal_align_batch(
     return out  # type: ignore[return-value]
 
 
+def align_hits_batch(
+    query: "str | bytes",
+    subjects: "list[str | bytes]",
+    gap_open: int = -69,
+    gap_extend: int = -1,
+) -> "list[AlignResult]":
+    """Batch-align a record's hits, routing to the device DP when it pays.
+
+    On TPU with enough hits the integer forward DP + traceback run on
+    device (ops/align_device.py, bit-identical); small batches and other
+    backends use the host wavefront batch.  KMERGMA_ALIGN_DEVICE=0/1
+    forces the choice.
+    """
+    if not subjects:
+        return []
+    import os
+
+    force = os.environ.get("KMERGMA_ALIGN_DEVICE", "")
+    use_device = force == "1"
+    if force == "":
+        try:
+            import jax
+
+            use_device = jax.default_backend() == "tpu" and len(subjects) >= 16
+        except Exception:  # pragma: no cover - jax always present in-tree
+            use_device = False
+    if use_device:
+        from .align_device import semiglobal_align_device
+
+        return semiglobal_align_device(query, subjects, gap_open, gap_extend)
+    return semiglobal_align_batch(query, subjects, gap_open, gap_extend)
+
+
 class _LazyFRows:
     """F rows of the affine DP, recomputed on demand from stored H/E.
 

@@ -807,6 +807,10 @@ class ScanEngine:
         check_int32_headroom(s_profile, ws, k, r)
         self.s_dev = jnp.asarray(s_profile.astype(np.int32))
         self.k, self.ws, self.r = k, ws, r
+        # drives the fused kernel's lookup exactness mode: the direct f32
+        # MXU table is exact on v5e only for S < 256 (one bf16 pass);
+        # larger profiles use the 8-bit bf16 limb-split table (scan_fused)
+        self._s_max = int(np.max(np.abs(s_profile))) if s_profile.size else 0
         # Bitmap passes use certified lower bounds at this pair depth
         # (None = exact distances).  Equality holds at depth = W - 1, so
         # clamping keeps short windows exact.  Default 16: the bound's low
@@ -1122,6 +1126,7 @@ class ScanEngine:
             prep.dev, self.s_dev, meta,
             k=self.k, ws=self.ws, r=self.r, depth=depth,
             t=t, block=self.block, n_tiles=n_tiles,
+            lookup="mxu" if self._s_max < 256 else "mxu_limbs",
         )
 
     def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:

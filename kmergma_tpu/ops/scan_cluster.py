@@ -271,7 +271,12 @@ class ClusterScanEngine:
         #: keeping >= 16 table mantissa bits (a 24-bit packing was measured
         #: wrong on v5e), so it is never trusted unverified.  Explicit
         #: "f32" / "bf16" / "f32pack" skip the self-check.
-        self.lookup_dtype = "auto" if self._s_max < 256 and len(profiles) >= 2 else "f32"
+        # S >= 256: the direct f32 table is NOT exact on v5e (one bf16
+        # pass) - the 8-bit limb-split is exact by construction
+        if self._s_max < 256:
+            self.lookup_dtype = "auto" if len(profiles) >= 2 else "f32"
+        else:
+            self.lookup_dtype = "bf16"
         self._auto_resolved: str | None = None
 
     def prepare_codes(self, codes: np.ndarray):

@@ -105,14 +105,20 @@ def _chunked_table_gather(tab_ref, idx):
     return jnp.take_along_axis(wide, idx, axis=1)[:, :n]
 
 
-def _mxu_table_lookup(tabt_ref, kcodes, half: int):
+def _mxu_table_lookup(tabt_ref, kcodes, half: int, limbs: bool = False):
     """g = S[kcodes] via an in-kernel one-hot MXU matmul (the VERDICT r2
     next-#3 experiment): per sublane row, a (half, lk) one-hot of the high
     digit hits the MXU against the PRE-TRANSPOSED (half, half) table -
     result[u, i] = S[half*hi[i] + u] - then a log2(half)-round bit-halving
     select on the low digit extracts the wanted entry without any gather.
-    All products are 0/1 * S and each sum has one non-zero term, so f32 is
-    exact for |S| < 2^24 (same argument as ops.scan.profile_lookup).
+
+    EXACTNESS: the v5e Mosaic f32 dot keeps only ~8 table mantissa bits
+    against the (exactly representable) 0/1 one-hot - a 16-bit packed table
+    was measured WRONG on chip (r4) - so the direct f32 table is exact only
+    for 0 <= S < 256.  For larger profiles ``limbs=True`` splits the table
+    into two 8-bit bf16 limbs (each exact) stacked as (2*half, half) and
+    recombines 256*hi + lo after the dot - exact for S < 2^16, which the
+    int32 headroom guard already enforces.
     """
     rows, lk = kcodes.shape
     hi = kcodes // half
@@ -122,10 +128,14 @@ def _mxu_table_lookup(tabt_ref, kcodes, half: int):
     for rr in range(rows):
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, (half, lk), 0) == hi[rr : rr + 1, :]
-        ).astype(jnp.float32)
-        sel = jax.lax.dot_general(
+        ).astype(jnp.bfloat16 if limbs else jnp.float32)
+        sel_all = jax.lax.dot_general(
             tabt, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (half, lk): sel[u, i] = S[half*hi[i] + u]
+        )  # (half | 2*half, lk): sel[u, i] = S[half*hi[i] + u] (or its limbs)
+        if limbs:
+            sel = 256.0 * sel_all[:half, :] + sel_all[half:, :]
+        else:
+            sel = sel_all
         lob = lo[rr : rr + 1, :]
         h = half // 2
         while h >= 1:
@@ -180,7 +190,10 @@ def _fused_kernel(
     # --- 3. profile projections g = S[K] over all lanes, then slice ---
     if lookup == "mxu":
         # tab_ref is the PRE-TRANSPOSED (half, half) f32 table here
-        g = _mxu_table_lookup(tab_ref, kcodes, tab_ref.shape[0])
+        g = _mxu_table_lookup(tab_ref, kcodes, tab_ref.shape[1])
+    elif lookup == "mxu_limbs":
+        # (2*half, half) bf16 limb table (exact for S < 2^16)
+        g = _mxu_table_lookup(tab_ref, kcodes, tab_ref.shape[1], limbs=True)
     else:
         g = _chunked_table_gather(tab_ref, kcodes)
     gl = g[:, :t]
@@ -250,13 +263,20 @@ def fused_record_bitmaps(
     halo = jax.vmap(
         lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
     )(jnp.arange(n_tiles))
-    if lookup == "mxu":
-        # pre-transposed (half, half) f32 table: tabt[u, h] = S[half*h + u]
+    if lookup in ("mxu", "mxu_limbs"):
+        # pre-transposed (half, half) f32 table: tabt[u, h] = S[half*h + u];
+        # limb variant stacks the two 8-bit bf16 limbs as (2*half, half)
         nbins = s_profile.shape[0]
         half = 1 << (nbins.bit_length() // 2)
         assert half * half == nbins, "mxu lookup needs a square-decomposable table"
-        table = s_profile.reshape(half, half).astype(jnp.float32).T
-        tab_spec = pl.BlockSpec((half, half), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        tf = s_profile.reshape(half, half).astype(jnp.float32).T
+        if lookup == "mxu_limbs":
+            table = jnp.concatenate([jnp.floor(tf / 256.0), jnp.mod(tf, 256.0)]).astype(
+                jnp.bfloat16
+            )
+        else:
+            table = tf
+        tab_spec = pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     else:
         table = jnp.broadcast_to(s_profile, (ROWS, s_profile.shape[0]))
         tab_spec = pl.BlockSpec((ROWS, s_profile.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -122,9 +122,9 @@ def _sharded_record_bitmaps(
     )(packed_rows, n_valids, s_stack, thr_ints)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "span", "spd", "t", "block", "mesh", "interpret"))
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "span", "spd", "t", "block", "mesh", "interpret", "lookup"))
 def _sharded_record_bitmaps_fused(
-    packed_rows, n_valid, s_profile, thr_int, *, k, ws, r, depth, span, spd, t, block, mesh, interpret
+    packed_rows, n_valid, s_profile, thr_int, *, k, ws, r, depth, span, spd, t, block, mesh, interpret, lookup="mxu"
 ):
     """Single-profile sharded bitmap pass running the FUSED Mosaic kernel
     per shard: each device unpacks its region, computes its own
@@ -156,6 +156,7 @@ def _sharded_record_bitmaps_fused(
         bm = fused_record_bitmaps(
             codes, s_prof, meta, k=k, ws=ws, r=r, depth=depth,
             t=t, block=block, n_tiles=n_tiles, interpret=interpret,
+            lookup=lookup,
         )
         local = bm.reshape(-1)[: nw_own // block]
         return jax.lax.all_gather(local, "data", axis=0, tiled=True)
@@ -169,9 +170,9 @@ def _sharded_record_bitmaps_fused(
     )(packed_rows, n_valid, s_profile, thr_int)
 
 
-@partial(jax.jit, static_argnames=("k", "specs", "depth", "span", "spd", "t", "block", "mesh", "interpret", "max_ws"))
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "span", "spd", "t", "block", "mesh", "interpret", "max_ws", "lookup_dtype"))
 def _sharded_cluster_bitmaps_fused(
-    packed_rows, n_valids, s_stack, thr_ints, *, k, specs, depth, span, spd, t, block, mesh, interpret, max_ws
+    packed_rows, n_valids, s_stack, thr_ints, *, k, specs, depth, span, spd, t, block, mesh, interpret, max_ws, lookup_dtype="f32"
 ):
     """Multi-cluster sharded bitmap pass on the fused multi-cluster Mosaic
     kernel (ops/scan_cluster_fused.py), per-shard carry seeded per cluster.
@@ -208,6 +209,7 @@ def _sharded_cluster_bitmaps_fused(
         bm = fused_cluster_record_bitmaps(
             codes, s_st, meta, k=k, specs=kspecs, depth=depth,
             t=t, block=block, n_tiles=n_tiles, interpret=interpret,
+            lookup_dtype=lookup_dtype,
         )  # (n_tiles, m * (t // block))
         tb = t // block
         keep_tiles = nw_own // t  # nw_own is a multiple of t (span, t pow2)
@@ -307,6 +309,7 @@ class ShardedScanEngine(ScanEngine):
                         k=self.k, ws=self.ws, r=self.r, depth=self.bound_depth,
                         span=self.chunk, spd=spd, t=t, block=self.block,
                         mesh=self.mesh, interpret=jax.default_backend() != "tpu",
+                        lookup="mxu" if self._s_max < 256 else "mxu_limbs",
                     )
                 )
             ).astype(bool)
@@ -409,6 +412,7 @@ class ShardedClusterScanEngine(ClusterScanEngine):
                         block=self.block, mesh=self.mesh,
                         interpret=jax.default_backend() != "tpu",
                         max_ws=self.max_ws,
+                        lookup_dtype="f32" if self._s_max < 256 else "bf16",
                     )
                 )
             )

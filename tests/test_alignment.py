@@ -76,3 +76,26 @@ def test_batch_align_empty():
     from kmergma_tpu.ops.align import semiglobal_align_batch
 
     assert semiglobal_align_batch("ACGT", []) == []
+
+
+def test_device_align_matches_host_fuzz():
+    """The device DP + traceback (ops/align_device.py) is bit-identical to
+    the host aligner: same scores, same CIGARs, across gap models, IUPAC
+    codes and mixed subject lengths."""
+    import numpy as np
+
+    from kmergma_tpu.ops.align_device import semiglobal_align_device
+
+    rng = np.random.default_rng(11)
+    letters = "ATGCN"
+    query = "".join("ATGC"[i] for i in rng.integers(0, 4, 70))
+    subjects = []
+    for _ in range(19):
+        n = int(rng.integers(50, 140))
+        subjects.append("".join(letters[i] for i in rng.integers(0, 5, n)))
+    for go, ge in [(-69, -1), (-5, -2), (-200, -1)]:
+        dev = semiglobal_align_device(query, subjects, go, ge)
+        for s, r in zip(subjects, dev):
+            single = semiglobal_align(query, s, go, ge)
+            assert r.score == single.score
+            assert r.cigar == single.cigar

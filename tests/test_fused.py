@@ -57,6 +57,47 @@ def test_fused_bitmaps_bit_identical():
         )
     ).reshape(-1).astype(bool)
     assert got_mxu.tolist() == exp.tolist()
+    # the bf16 limb-split lookup (big-S exactness mode) likewise
+    got_limbs = np.asarray(
+        fused_record_bitmaps(
+            jnp.asarray(cd), jnp.asarray(s), meta,
+            k=k, ws=ws, r=r, depth=depth, t=t, block=block, n_tiles=n_tiles,
+            interpret=True, lookup="mxu_limbs",
+        )
+    ).reshape(-1).astype(bool)
+    assert got_limbs.tolist() == exp.tolist()
+
+
+def test_fused_bitmaps_big_s_limbs():
+    """S >= 256 (past the direct-f32 exactness bound measured on v5e) rides
+    the limb-split table: bit-identical in interpret mode; on chip the
+    engine routes here automatically (ScanEngine._s_max gate)."""
+    rng = np.random.default_rng(4)
+    k, ws, r, depth = 5, 120, 40, 16
+    w = ws - k + 1
+    n = 20000
+    nw = n - ws + 1
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    s = rng.integers(0, 1500, 4**k).astype(np.int32)  # far past 256
+
+    t, block = 1024, 512
+    n_tiles = -(-(-(-nw // t)) // ROWS) * ROWS
+    hw = -(-(w + 1) // 128) * 128 + 128
+    cd = np.zeros(n_tiles * t + t + hw, np.int8)
+    cd[:n] = codes
+    L0 = int(S._first_window_l0(jnp.asarray(cd), jnp.asarray(s), k=k, ws=ws, r=r, depth=depth))
+    L = np.asarray(S.scan_window_lower_bounds(jnp.asarray(codes), jnp.asarray(s), k, ws, r, depth))
+    thr_int = np.int32(np.percentile(L, 5))
+    meta = jnp.asarray(np.array([thr_int, L0, nw], np.int32))
+    got = np.asarray(
+        fused_record_bitmaps(
+            jnp.asarray(cd), jnp.asarray(s), meta,
+            k=k, ws=ws, r=r, depth=depth, t=t, block=block, n_tiles=n_tiles,
+            interpret=True, lookup="mxu_limbs",
+        )
+    ).reshape(-1).astype(bool)
+    exp = _expected_blocks(codes, s, k, ws, r, depth, thr_int, got.size, block)
+    assert got.tolist() == exp.tolist()
 
 
 def test_engine_fused_stream_matches_split():
