@@ -41,7 +41,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_fused import ROWS, _masked_shift_cumsum, _sublane_inclusive_cumsum
+from .scan_fused import (
+    ROWS,
+    _cumsum_masks,
+    _masked_shift_cumsum,
+    _sublane_inclusive_cumsum,
+)
 
 #: lane-chunk width of the in-kernel multi-table lookup (bounds the
 #: (m*half, CHUNK) f32 sel temp to ~3 MB at m=6, half=64)
@@ -172,14 +177,23 @@ def _fused_cluster_kernel(
     g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m, lookup_dtype)
 
     # --- per-cluster delta, cumsum, carry chain, bitmap ---
+    # cluster-invariant pieces hoisted out of the m-loop: the cumsum lane
+    # masks (13 iota+compare rounds otherwise repeated per cluster) and the
+    # validity position grid
     tb = t // block
+    cmasks = _cumsum_masks((ROWS, t), t)
+    pos = (
+        (step * ROWS) * t
+        + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 0) * t
+        + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 1)
+    )
     for c, (w, r) in enumerate(specs):
         g = g_all[c]
         ab = a_acc[w] - b_acc
         delta = jnp.int32(2 * r * r) * ab + jnp.int32(2 * r) * (
             g[:, :t] - g[:, w : w + t]
         )
-        csum = _masked_shift_cumsum(delta, t)
+        csum = _masked_shift_cumsum(delta, t, cmasks)
         row_tot = csum[:, t - 1 : t]
         inc = _sublane_inclusive_cumsum(row_tot)
         excl = inc - row_tot
@@ -192,11 +206,6 @@ def _fused_cluster_kernel(
         below_rest = (l_rest < thr).astype(jnp.int32)
         below = jnp.concatenate([below_first, below_rest[:, : t - 1]], axis=1)
 
-        pos = (
-            (step * ROWS) * t
-            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 0) * t
-            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 1)
-        )
         below = jnp.where(pos < meta_ref[c], below, 0)
         bitmap_ref[:, c * tb : (c + 1) * tb] = below.reshape(ROWS, tb, block).max(axis=2)
         carry_ref[c] = base + inc[ROWS - 1, 0]

@@ -59,16 +59,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _masked_shift_cumsum(x, axis_len):
+def _masked_shift_cumsum(x, axis_len, masks=None):
     """Inclusive cumsum along lanes via log-shift rolls (no cumsum primitive
-    in Mosaic).  jnp.roll wraps, so wrapped-in lanes are masked to zero."""
+    in Mosaic).  jnp.roll wraps, so wrapped-in lanes are masked to zero.
+    ``masks`` may pass the per-shift lane masks precomputed once (the
+    multi-cluster kernel runs m cumsums per step; sharing the masks saves
+    m-1 iota+compare rounds per shift)."""
+    if masks is None:
+        masks = _cumsum_masks(x.shape, axis_len)
     sh = 1
+    i = 0
     while sh < axis_len:
         rolled = jnp.roll(x, sh, axis=1)
-        mask = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) >= sh
-        x = x + jnp.where(mask, rolled, 0)
+        x = x + jnp.where(masks[i], rolled, 0)
         sh <<= 1
+        i += 1
     return x
+
+
+def _cumsum_masks(shape, axis_len):
+    """The lane masks used by _masked_shift_cumsum, precomputable."""
+    masks = []
+    sh = 1
+    while sh < axis_len:
+        masks.append(jax.lax.broadcasted_iota(jnp.int32, shape, 1) >= sh)
+        sh <<= 1
+    return masks
 
 
 def _sublane_inclusive_cumsum(x):
