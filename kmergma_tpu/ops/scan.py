@@ -495,11 +495,14 @@ def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_
 
 def _below_words_and_count(d, starts, meta):
     """Shared tail of the summarized region passes: packed conservative
-    below bits + the borderline count (see _scan_regions_summarized).
+    below bits + the borderline count + the record's first-window distance
+    (see _scan_regions_summarized).
 
     d: int32[n_regions, rspan]; starts: int32[n_regions]; meta: int32[3] =
-    [thr_int, thr_lo, nw].  Returns uint32[ceil(n_regions*rspan/32) + 1]
-    with the borderline count appended as the last word.
+    [thr_int, thr_lo, nw].  Returns uint32[ceil(n_regions*rspan/32) + 2]
+    with [borderline count, D[window 0]] appended - carrying dist0 in the
+    words fetch lets a candidate-free record (the common sparse case) skip
+    the run-reduce round trip entirely.
     """
     rspan = d.shape[1]
     cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
@@ -508,7 +511,8 @@ def _below_words_and_count(d, starts, meta):
     border = (d >= meta[1]) & below
     words = _pack_bitmap_words(below.astype(jnp.int32).reshape(-1))
     count = jnp.sum(border, dtype=jnp.int32).astype(jnp.uint32)
-    return jnp.concatenate([words, count[None]])
+    d0 = d[0, 0].astype(jnp.uint32)  # starts[0] == 0 always (window 0)
+    return jnp.concatenate([words, count[None], d0[None]])
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
@@ -552,12 +556,14 @@ def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, 
     ``meta`` is int32[3m] = [thr_int_c...] + [thr_lo_c...] + [nw_c...].
     Returns (d_flat, words): d_flat is int32[m * n_regions * rspan]
     (cluster-major, row-major) kept on device; words packs each cluster's
-    below bits back to back with m trailing borderline-count words.
+    below bits back to back, then m borderline-count words, then m
+    first-window distances.
     """
     m = len(specs)
     d_parts = []
     word_parts = []
     count_parts = []
+    d0_parts = []
     for ci, (ws, r) in enumerate(specs):
         starts = jax.lax.slice(starts_flat, (ci * n_regions,), ((ci + 1) * n_regions,))
         rows = jax.vmap(
@@ -567,9 +573,10 @@ def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, 
         cmeta = jnp.stack([meta[ci], meta[m + ci], meta[2 * m + ci]])
         wc = _below_words_and_count(d, starts, cmeta)
         d_parts.append(d.reshape(-1))
-        word_parts.append(wc[:-1])
-        count_parts.append(wc[-1:])
-    return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts)
+        word_parts.append(wc[:-2])
+        count_parts.append(wc[-2:-1])
+        d0_parts.append(wc[-1:])
+    return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts + d0_parts)
 
 
 @partial(jax.jit, static_argnames=("n_pieces", "bucket"))
@@ -1310,41 +1317,36 @@ class ScanEngine:
         except jax.errors.JaxRuntimeError:
             d_handle, words_handle = _with_retry(plan["dispatch"])
             words = np.asarray(words_handle)
-        if int(words[-1]) > 0:
+        if int(words[-2]) > 0:
             # borderline integer distances present: the below/above split
             # cannot be certified on device - exact full fetch (rare)
             d_all = np.asarray(d_handle)
             return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
-        bits = _unpack_bitmap_words(words[:-1], plan["n_regions"] * rspan)
+        bits = _unpack_bitmap_words(words[:-2], plan["n_regions"] * rspan)
+        dist0 = float(np.int64(words[-1])) / self.scale
         return self._stream_from_reduction(
-            d_handle, bits, starts, rspan, plan["max_index"]
+            d_handle, bits, starts, rspan, plan["max_index"], dist0
         )
 
-    def _stream_from_reduction(self, d_handle, bits, starts, rspan, max_index, flat_base: int = 0, reducer=None):
+    def _stream_from_reduction(self, d_handle, bits, starts, rspan, max_index, dist0):
         """Reduced-path stream assembly: extract runs on host from the
         below bits, reduce them on device (_run_reduce), synthesize the
-        minimal equivalent stream.
-
-        ``reducer``/``flat_base`` let the cluster engine batch all m
-        clusters' reductions into one device call over the shared flat
-        distance array (flat_base = this cluster's offset in it).  Returns
-        (dist0, stream).
+        minimal equivalent stream.  A candidate-free record (no runs, no
+        edges) returns without any further device round trip - dist0
+        arrived with the words fetch.  Returns (dist0, stream).
         """
         if starts[0] != 0:
             raise AssertionError("scan bitmap path missed window 0")
         run_lo, run_hi, edge_flat = _extract_runs(bits, starts, rspan, max_index)
+        if len(run_lo) == 0:
+            return dist0, []
         run_ids, p_start, p_len = _run_pieces(run_lo, run_hi, _RUN_BUCKET)
         edge_ok = edge_flat >= 0
-        edge_list = np.concatenate([[0], edge_flat[edge_ok]])  # [0] = dist0
-        if reducer is None:
-            out = self._reduce_on_device(
-                d_handle, [(p_start, p_len, edge_list)]
-            )[0]
-        else:
-            out = reducer(flat_base, p_start, p_len, edge_list)
+        edge_list = edge_flat[edge_ok]
+        out = self._reduce_on_device(d_handle, [(p_start, p_len, edge_list)])[0]
         return self._finish_reduction(
             out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok,
-            run_ids, p_start,
+            run_ids, p_start, dist0,
         )
 
     def _reduce_on_device(self, d_handle, requests: list):
@@ -1394,12 +1396,11 @@ class ScanEngine:
             eo += len(el)
         return outs
 
-    def _finish_reduction(self, out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start):
+    def _finish_reduction(self, out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start, dist0):
         """Synthesize (dist0, stream) from a fetched reduction result."""
         n_p = len(p_start)
         mins, argmins = out[:n_p], out[n_p : 2 * n_p]
         edge_vals = out[2 * n_p :]
-        dist0 = float(edge_vals[0]) / self.scale
         n_runs = len(run_lo)
         if n_runs == 0:
             return dist0, []
@@ -1409,7 +1410,7 @@ class ScanEngine:
         ef = edge_flat[edge_ok]
         g_edge = sa[ef // rspan] + ef % rspan
         idx = np.concatenate([g_min, g_edge])
-        vals = np.concatenate([run_min, edge_vals[1:]]).astype(np.float64) / self.scale
+        vals = np.concatenate([run_min, edge_vals]).astype(np.float64) / self.scale
         order = np.argsort(idx, kind="stable")
         return dist0, list(zip(idx[order].tolist(), vals[order].tolist()))
 

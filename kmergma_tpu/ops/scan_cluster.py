@@ -278,6 +278,8 @@ class ClusterScanEngine:
         else:
             self.lookup_dtype = "bf16"
         self._auto_resolved: str | None = None
+        #: lane-chunk width of the in-kernel multi-table lookup (ablatable)
+        self.lookup_chunk = 2048
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(
@@ -328,7 +330,7 @@ class ClusterScanEngine:
                 run = lambda d: fused_cluster_record_bitmaps(
                     prep.dev, self.s_stack, meta,
                     k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-                    n_tiles=n_tiles, lookup_dtype=d,
+                    n_tiles=n_tiles, lookup_dtype=d, chunk=self.lookup_chunk,
                 )
                 ref = np.asarray(run("f32"))
                 cand = np.asarray(run("f32pack"))
@@ -338,7 +340,7 @@ class ClusterScanEngine:
         handle = fused_cluster_record_bitmaps(
             prep.dev, self.s_stack, meta,
             k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-            n_tiles=n_tiles, lookup_dtype=ld,
+            n_tiles=n_tiles, lookup_dtype=ld, chunk=self.lookup_chunk,
         )  # (n_tiles, m * (t // block))
         m = len(self.engines)
         tb = t // self.block
@@ -472,12 +474,16 @@ class ClusterScanEngine:
             )
         )
         words = _with_retry(lambda: np.asarray(words_h))
-        if int(words[-m:].sum()) > 0:
+        if int(words[-2 * m : -m].sum()) > 0:
             # borderline integer distances somewhere: exact full fetch
             d_flat = np.asarray(d_flat_h)
             return self._streams_full_fetch(
                 d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
             )
+        dist0s = [
+            float(np.int64(words[-m + ci])) / eng.scale
+            for ci, eng in enumerate(self.engines)
+        ]
 
         imax = None if seq_len is None else seq_len - self.max_ws - self.k + 2
         words_per = n_regions * rspan // 32
@@ -494,16 +500,19 @@ class ClusterScanEngine:
             run_ids, p_start, p_len = _run_pieces(run_lo, run_hi, _RUN_BUCKET)
             base = ci * n_regions * rspan
             edge_ok = edge_flat >= 0
-            edge_list = np.concatenate([[0], edge_flat[edge_ok]]).astype(np.int64) + base
+            edge_list = edge_flat[edge_ok].astype(np.int64) + base
             requests.append((p_start + base, p_len, edge_list))
             infos.append((eng, starts, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start))
+        if sum(len(r[0]) + len(r[2]) for r in requests) == 0:
+            return [(d0, []) for d0 in dist0s]  # no runs anywhere: done
         outs = e0._reduce_on_device(d_flat_h, requests)
         return [
             eng._finish_reduction(
-                out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start
+                out, starts, rspan, run_lo, run_hi, edge_flat, edge_ok, run_ids,
+                p_start, dist0s[ci],
             )
-            for out, (eng, starts, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start)
-            in zip(outs, infos)
+            for ci, (out, (eng, starts, run_lo, run_hi, edge_flat, edge_ok, run_ids, p_start))
+            in enumerate(zip(outs, infos))
         ]
 
     def _streams_full_fetch(self, d_flat, all_starts, rspan, n_regions, n_valids, thr_ints):

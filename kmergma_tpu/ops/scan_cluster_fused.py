@@ -57,7 +57,7 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f32"):
+def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f32", chunk: int = CHUNK):
     """g[c][r, i] = S_c[kcodes[r, i]] for all m profiles.
 
     t2_ref: row-stacked pre-transposed tables - (m*half, half) f32;
@@ -83,11 +83,11 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
     t2 = t2_ref[:, :]
     oh_dtype = jnp.bfloat16 if lookup_dtype == "bf16" else jnp.float32
     out_rows = [[] for _ in range(m)]
-    n_chunks = -(-lk // CHUNK)
+    n_chunks = -(-lk // chunk)
     for rr in range(rows):
         for ch in range(n_chunks):
-            s = ch * CHUNK
-            e = min(lk, s + CHUNK)
+            s = ch * chunk
+            e = min(lk, s + chunk)
             hic = hi[rr : rr + 1, s:e]
             loc = lo[rr : rr + 1, s:e]
             oh = (
@@ -136,7 +136,7 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
 def _fused_cluster_kernel(
     main_ref, halo_ref, t2_ref, meta_ref, bitmap_ref, carry_ref,
     *, k: int, specs: tuple, t: int, depth: int, block: int, half: int,
-    lookup_dtype: str = "f32",
+    lookup_dtype: str = "f32", chunk: int = CHUNK,
 ):
     """One grid step: ROWS consecutive tiles of t transitions, all clusters.
 
@@ -174,14 +174,14 @@ def _fused_cluster_kernel(
             a_acc[w] = a_acc[w] + eq[:, w - d : w - d + t]
 
     # --- all m profile projections in one chunked MXU pass ---
-    g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m, lookup_dtype)
+    g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m, lookup_dtype, chunk)
 
     # --- per-cluster delta, cumsum, carry chain, bitmap ---
-    # cluster-invariant pieces hoisted out of the m-loop: the cumsum lane
-    # masks (13 iota+compare rounds otherwise repeated per cluster) and the
-    # validity position grid
+    # (NOTE r4: precomputing the cumsum lane masks once for all clusters
+    # was measured SLOWER on v5e - 112 vs 99 ms per 64 Mbp - Mosaic already
+    # CSEs the iota+compare and the 13 live (ROWS, t) masks only added
+    # register/VMEM pressure; keep the per-cluster recompute)
     tb = t // block
-    cmasks = _cumsum_masks((ROWS, t), t)
     pos = (
         (step * ROWS) * t
         + jax.lax.broadcasted_iota(jnp.int32, (ROWS, t), 0) * t
@@ -193,7 +193,7 @@ def _fused_cluster_kernel(
         delta = jnp.int32(2 * r * r) * ab + jnp.int32(2 * r) * (
             g[:, :t] - g[:, w : w + t]
         )
-        csum = _masked_shift_cumsum(delta, t, cmasks)
+        csum = _masked_shift_cumsum(delta, t)
         row_tot = csum[:, t - 1 : t]
         inc = _sublane_inclusive_cumsum(row_tot)
         excl = inc - row_tot
@@ -211,7 +211,7 @@ def _fused_cluster_kernel(
         carry_ref[c] = base + inc[ROWS - 1, 0]
 
 
-@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "interpret", "lookup_dtype"))
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "interpret", "lookup_dtype", "chunk"))
 def fused_cluster_record_bitmaps(
     codes_dev: jnp.ndarray,
     s_stack: jnp.ndarray,
@@ -225,6 +225,7 @@ def fused_cluster_record_bitmaps(
     n_tiles: int,
     interpret: bool | None = None,
     lookup_dtype: str = "f32",
+    chunk: int = CHUNK,
 ):
     """Whole-record fused multi-cluster bitmap pass.
 
@@ -269,7 +270,7 @@ def fused_cluster_record_bitmaps(
         partial(
             _fused_cluster_kernel,
             k=k, specs=specs, t=t, depth=depth, block=block, half=half,
-            lookup_dtype=lookup_dtype,
+            lookup_dtype=lookup_dtype, chunk=chunk,
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, m * (t // block)), jnp.int32),
         grid=grid,
