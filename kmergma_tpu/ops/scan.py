@@ -614,6 +614,9 @@ def _run_reduce(d_flat, packed, *, n_pieces, bucket):
 
 
 _RUN_BUCKET = 512  # piece length of the run-reduce gather
+#: below this many region windows, fetching the raw distance rows (one
+#: round trip, <= ~256 KB) beats the words+reduce round-trip pair
+_FULL_FETCH_WINDOWS = 1 << 16
 
 
 def _extract_runs(bits: np.ndarray, starts, rspan: int, max_index: int):
@@ -854,6 +857,11 @@ class ScanEngine:
         # the exact full fetch automatically.  KMERGMA_ASSEMBLE=full opts
         # out entirely.
         self.assemble_mode = os.environ.get("KMERGMA_ASSEMBLE", "reduced")
+        #: adaptive cutover: records whose active regions cover fewer
+        #: windows than this fetch the raw distance rows in ONE round trip
+        #: instead of the words+reduce pair (tests lower it to pin the
+        #: reduced machinery on small fixtures)
+        self.full_fetch_windows = _FULL_FETCH_WINDOWS
         self.scale = 2.0 * k * r * r
         if use_pallas is None:
             # the Mosaic kernel is the production path on TPU; the pure-XLA
@@ -1313,10 +1321,14 @@ class ScanEngine:
             if plan["handles"] is None:
                 raise jax.errors.JaxRuntimeError("deferred dispatch failure")
             d_handle, words_handle = plan["handles"]
-            words = np.asarray(words_handle)
         except jax.errors.JaxRuntimeError:
             d_handle, words_handle = _with_retry(plan["dispatch"])
-            words = np.asarray(words_handle)
+        if len(starts) * rspan <= self.full_fetch_windows:
+            # few active regions: the raw distance rows are small enough
+            # that ONE fetch beats the words+reduce round-trip pair
+            d_all = _with_retry(lambda: np.asarray(d_handle))
+            return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
+        words = _with_retry(lambda: np.asarray(words_handle))
         if int(words[-2]) > 0:
             # borderline integer distances present: the below/above split
             # cannot be certified on device - exact full fetch (rare)

@@ -473,6 +473,13 @@ class ClusterScanEngine:
                 use_pallas=self.use_pallas,
             )
         )
+        if m * n_regions * rspan <= e0.full_fetch_windows:
+            # few active regions across all clusters: one raw fetch beats
+            # the words+reduce round-trip pair (sparse real genomes)
+            d_flat = _with_retry(lambda: np.asarray(d_flat_h))
+            return self._streams_full_fetch(
+                d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
+            )
         words = _with_retry(lambda: np.asarray(words_h))
         if int(words[-2 * m : -m].sum()) > 0:
             # borderline integer distances somewhere: exact full fetch

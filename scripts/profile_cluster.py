@@ -111,20 +111,25 @@ t_bm = min(t_bm, t_bm2)
 if ceng.use_fused:
     split_by_c = np.transpose(np.asarray(bm), (1, 0, 2)).reshape(m, -1)
     n_blocks = -(-int(n_valids.max()) // ceng.block)
-    best_ld, best_t = ("f32", 2048), float("inf")
-    for ld, lchunk in (("f32", 2048), ("f32", 4096), ("f32", 1024), ("bf16", 2048), ("f32pack", 2048), ("f32pack", 4096)):
+    best_ld, best_t = ("f32", 2048, 8192), float("inf")
+    for ld, lchunk, ft in (
+        ("f32", 2048, 8192), ("f32", 4096, 8192),
+        ("f32", 4096, 16384), ("f32", 8192, 16384), ("f32", 2048, 16384),
+        ("f32", 4096, 4096),
+    ):
         ceng.lookup_dtype = ld
         ceng.lookup_chunk = lchunk
-        fb, t_f = t(f"C3. fused cluster kernel {ld} chunk={lchunk}", lambda: ceng._fused_cluster_bitmaps(prep, n_valids, thr_ints))
+        ceng.engines[0].fused_t = ft
+        fb, t_f = t(f"C3. fused cluster kernel {ld} chunk={lchunk} t={ft}", lambda: ceng._fused_cluster_bitmaps(prep, n_valids, thr_ints))
         ok = all(
             fb[c][:n_blocks].astype(bool).tolist() == split_by_c[c][:n_blocks].astype(bool).tolist()
             for c in range(m)
         )
-        print(f"   {ld}/{lchunk}: bitmaps {'MATCH' if ok else 'MISMATCH (excluded)'}", flush=True)
+        print(f"   {ld}/{lchunk}/t={ft}: bitmaps {'MATCH' if ok else 'MISMATCH (excluded)'}", flush=True)
         if ok and t_f < best_t:
-            best_ld, best_t = (ld, lchunk), t_f
-    print(f"   fastest exact lookup: {best_ld}", flush=True)
-    ceng.lookup_dtype, ceng.lookup_chunk = best_ld
+            best_ld, best_t = (ld, lchunk, ft), t_f
+    print(f"   fastest exact config: {best_ld}", flush=True)
+    ceng.lookup_dtype, ceng.lookup_chunk, ceng.engines[0].fused_t = best_ld
     t_bm = best_t
 
 # stream assembly + replay (the rest of record_streams)

@@ -178,6 +178,7 @@ def test_tp_engine_matches_host_k10():
     # reduced assembly (production default): minimal equivalent stream -
     # identical REPLAY, not identical elements
     tp.assemble_mode = "reduced"
+    tp.full_fetch_windows = 0
     d0_r, stream_r, _ = tp.record_stream(codes, thr)
     assert d0_r == d0_h
     hits_h = replay_single(stream_h, d0_h, thr, k, ws, n, 50)

@@ -30,6 +30,7 @@ def _engine_and_codes(seed: int, n: int = 60_000, k: int = 5, ws: int = 120, r: 
         mutant[idx] = rng.integers(0, 4, nmut)
         codes[pos : pos + ws] = mutant
     eng = ScanEngine(s, k=k, ws=ws, r=r, chunk_windows=1 << 13)
+    eng.full_fetch_windows = 0  # always exercise the reduced machinery
     return eng, codes
 
 
