@@ -112,10 +112,12 @@ if ceng.use_fused:
     split_by_c = np.transpose(np.asarray(bm), (1, 0, 2)).reshape(m, -1)
     n_blocks = -(-int(n_valids.max()) // ceng.block)
     best_ld, best_t = ("f32", 2048, 8192), float("inf")
+    # NOTE r4: t=16384 at m=6 exceeds scoped VMEM (24M > 16M) and the
+    # failed Mosaic compile left the backend in FAILED_PRECONDITION for the
+    # rest of the process - keep only known-compiling variants here and
+    # put risky compiles in their own session (tpu_session6_r4.log)
     for ld, lchunk, ft in (
         ("f32", 2048, 8192), ("f32", 4096, 8192),
-        ("f32", 4096, 16384), ("f32", 8192, 16384), ("f32", 2048, 16384),
-        ("f32", 4096, 4096),
     ):
         ceng.lookup_dtype = ld
         ceng.lookup_chunk = lchunk

@@ -115,20 +115,28 @@ if os.environ.get("SWEEP_KERNELS", "1") == "1":
             split_bits = np.asarray(split).reshape(-1)[: nw // eng.block]
             l0 = S._first_window_l0(prep.dev, eng.s_dev, k=k, ws=ws, r=r, depth=depth)
             meta = jnp.stack([jnp.int32(thr_int), l0.astype(jnp.int32), jnp.int32(nw)])
+            tiles = [int(x) for x in os.environ.get("SWEEP_TILES", "8192").split(",")]
             for lookup in LOOKUPS:
-                try:
-                    out, _ = timeit(
-                        lambda lk=lookup, d=depth: fused_record_bitmaps(
-                            prep.dev, eng.s_dev, meta, k=k, ws=ws, r=r, depth=d,
-                            t=t, block=eng.block, n_tiles=n_tiles, lookup=lk,
-                        ),
-                        f"{wl_name} fused d={depth:2d} {lookup:6s}",
-                    )
-                except Exception as e:  # Mosaic compile errors recorded, not fatal
-                    print(f"{wl_name} fused d={depth:2d} {lookup:6s}: FAILED "
-                          f"{type(e).__name__}: {str(e).splitlines()[0][:120]}", flush=True)
-                    continue
-                bits = np.asarray(out).reshape(-1)[: nw // eng.block]
-                ok = bits.astype(bool).tolist() == split_bits.astype(bool).tolist()
-                print(f"    fused[{lookup}] == split: {ok}", flush=True)
-                assert ok
+                for tt in tiles:
+                    ntt = -(-(-(-nw // tt)) // FROWS) * FROWS
+                    w_ = ws - k + 1
+                    hw_ = -(-(w_ + 1) // 128) * 128 + 128
+                    if prep.dev.shape[0] < ntt * tt + tt + hw_:
+                        print(f"    t={tt}: prep too small, skipped", flush=True)
+                        continue
+                    try:
+                        out, _ = timeit(
+                            lambda lk=lookup, d=depth, tt=tt, ntt=ntt: fused_record_bitmaps(
+                                prep.dev, eng.s_dev, meta, k=k, ws=ws, r=r, depth=d,
+                                t=tt, block=eng.block, n_tiles=ntt, lookup=lk,
+                            ),
+                            f"{wl_name} fused d={depth:2d} {lookup:6s} t={tt}",
+                        )
+                    except Exception as e:  # Mosaic compile errors recorded, not fatal
+                        print(f"{wl_name} fused d={depth:2d} {lookup:6s} t={tt}: FAILED "
+                              f"{type(e).__name__}: {str(e).splitlines()[0][:120]}", flush=True)
+                        continue
+                    bits = np.asarray(out).reshape(-1)[: nw // eng.block]
+                    ok = bits.astype(bool).tolist() == split_bits.astype(bool).tolist()
+                    print(f"    fused[{lookup} t={tt}] == split: {ok}", flush=True)
+                    assert ok
