@@ -388,9 +388,8 @@ def main() -> None:
         # ---- big-k single chip: k=10 (4^10 = 1M bins) ----
         # Past profile_lookup's one-hot MXU limit the pruned pass rides the
         # XLA table gather; this row pins that regime's single-chip rate
-        # (VERDICT r4 item 5).  Opt-in while the relay compile cost of the
-        # k=10 XLA graph is unmeasured: BENCH_K10=1.
-        if os.environ.get("BENCH_K10", "") == "1":
+        # (VERDICT r4 item 5; compile ~15 s).  BENCH_SKIP_K10=1 opts out.
+        if os.environ.get("BENCH_SKIP_K10", "") != "1":
             k10_mbp = float(os.environ.get("BENCH_K10_MBP", "64"))
             k10_bp = int(k10_mbp * 1e6)
             p10 = gen_ref_ws_cons(ref_path, 10)
