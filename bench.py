@@ -23,9 +23,10 @@ from RAM, not from a ~40 MB/s network link; this harness reaches the TPU
 through a remote relay whose transfer cost is an environment artifact, not
 a property of the framework - on a real TPU host the same H2D is PCIe/HBM
 at GB/s).  The one-time transfer and end-to-end wall time are reported on
-stderr for full transparency.  Alignment is excluded (the reference's
-figure times the scan loop; hits are rare and alignment is O(hits), not
-O(genome)) - hit COUNTS are reported so the replay work is visible.
+stderr for full transparency.  The scan rows exclude alignment (matching
+what the reference's figure times); the ``align_s`` /
+``hit_dense_aligned_mbps`` fields report the measured batched-alignment
+cost on the hit-dense genome separately - the honest do_align=True number.
 
 A persistent compilation cache (.jax_cache) makes warmup fast after the
 first-ever run on a machine; the first run pays one-time remote compiles.
@@ -42,7 +43,8 @@ Env knobs: BENCH_MBP (random-genome size, default 512), BENCH_DENSE_MBP
 (hit-dense genome size, default 64), BENCH_CHUNK (windows per span),
 BENCH_SKIP_EXTRAS=1 (headline only), BENCH_SKIP_3G=1 / BENCH_3G_MBP /
 BENCH_3G_REC_MBP (skip / size / record-size the ~3.2 Gbp multi-record run),
-BENCH_SKIP_STROBE=1.
+BENCH_SKIP_STROBE=1 / BENCH_STROBE_MBP, BENCH_SKIP_K10=1 / BENCH_K10_MBP,
+BENCH_CLUSTER_LOOKUP (force the fused cluster lookup variant).
 """
 
 import json

@@ -41,12 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_fused import (
-    ROWS,
-    _cumsum_masks,
-    _masked_shift_cumsum,
-    _sublane_inclusive_cumsum,
-)
+from .scan_fused import ROWS, _masked_shift_cumsum, _sublane_inclusive_cumsum
 
 #: lane-chunk width of the in-kernel multi-table lookup (bounds the
 #: (m*half, CHUNK) f32 sel temp to ~3 MB at m=6, half=64)
