@@ -1176,7 +1176,15 @@ class ScanEngine:
         start_seg = 0
         out: list[np.ndarray] = []
         if tracker is not None:
-            start_seg, restored = tracker.resume()
+            # every parameter that shapes the stored words or their segment
+            # offsets - stale-parameter checkpoints are discarded, not
+            # misread (words from a different chunk/block/threshold would
+            # silently misalign the restored bitmaps)
+            fp = (
+                f"{self.k}|{self.ws}|{self.r}|{self.chunk}|{self.block}|"
+                f"{int(thr_int)}|{self.bound_depth}|{fused}|{nw}"
+            )
+            start_seg, restored = tracker.resume(fp)
             out = [_unpack_bitmap_words(w, blocks_per_seg) for w in restored]
         pending: list = []  # (seg_idx, prep, words_handle) not yet fetched
 
@@ -1185,7 +1193,7 @@ class ScanEngine:
             w = np.asarray(wh)
             out.append(_unpack_bitmap_words(w, blocks_per_seg))
             if tracker is not None:
-                tracker.done_segment(si, w)
+                tracker.done_segment(si, w, fp)
 
         for si, off in enumerate(range(0, nw, seg)):
             if si < start_seg:
@@ -1332,7 +1340,7 @@ class ScanEngine:
         if int(words[-2]) > 0:
             # borderline integer distances present: the below/above split
             # cannot be certified on device - exact full fetch (rare)
-            d_all = np.asarray(d_handle)
+            d_all = _with_retry(lambda: np.asarray(d_handle))
             return self._stream_from_region_dists(d_all, starts, rspan, nw, thr_int)
         bits = _unpack_bitmap_words(words[:-2], plan["n_regions"] * rspan)
         dist0 = float(np.int64(words[-1])) / self.scale

@@ -324,19 +324,28 @@ class ClusterScanEngine:
         if ld == "auto":
             ld = self._auto_resolved
             if ld is None:
-                # first fused record: run BOTH lookups once and keep
-                # f32pack only if its bitmaps equal f32's bit-for-bit on
-                # THIS chip (exactness is decomposition-dependent)
-                run = lambda d: fused_cluster_record_bitmaps(
-                    prep.dev, self.s_stack, meta,
-                    k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-                    n_tiles=n_tiles, lookup_dtype=d, chunk=self.lookup_chunk,
+                # once per engine: certify f32pack by a PER-ENTRY round
+                # trip through the actual in-kernel lookup path - every
+                # m * 4^k table entry must come back as its exact integer
+                # (block-granular bitmap equality on one record is too
+                # weak a certificate for a decomposition-dependent
+                # property; a KB-scale fetch instead of two full bitmap
+                # passes, too)
+                from .scan_cluster_fused import pack_lookup_roundtrip
+
+                m = len(self.engines)
+                nbins = 4**self.k
+                got = np.asarray(
+                    pack_lookup_roundtrip(
+                        self.s_stack, m=m, nbins=nbins,
+                        lookup_dtype="f32pack", chunk=self.lookup_chunk,
+                    )
                 )
-                ref = np.asarray(run("f32"))
-                cand = np.asarray(run("f32pack"))
-                ld = self._auto_resolved = (
-                    "f32pack" if np.array_equal(ref, cand) else "f32"
-                )
+                from .scan_fused import ROWS as _R
+
+                want = np.asarray(self.s_stack).reshape(m, _R, nbins // _R)
+                ok = np.array_equal(got.reshape(m, _R, nbins // _R), want)
+                ld = self._auto_resolved = "f32pack" if ok else "f32"
         handle = fused_cluster_record_bitmaps(
             prep.dev, self.s_stack, meta,
             k=self.k, specs=specs, depth=depth, t=t, block=self.block,
@@ -483,7 +492,7 @@ class ClusterScanEngine:
         words = _with_retry(lambda: np.asarray(words_h))
         if int(words[-2 * m : -m].sum()) > 0:
             # borderline integer distances somewhere: exact full fetch
-            d_flat = np.asarray(d_flat_h)
+            d_flat = _with_retry(lambda: np.asarray(d_flat_h))
             return self._streams_full_fetch(
                 d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
             )

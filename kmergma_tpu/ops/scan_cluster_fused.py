@@ -128,6 +128,62 @@ def _mxu_multi_lookup(t2_ref, kcodes, half: int, m: int, lookup_dtype: str = "f3
     ]
 
 
+def _build_t2(s_stack, lookup_dtype: str, m: int, half: int):
+    """Row-stacked pre-transposed lookup tables for every variant (shared
+    by the record kernel and the round-trip certificate)."""
+    t2f = jnp.transpose(
+        s_stack.reshape(m, half, half).astype(jnp.float32), (0, 2, 1)
+    ).reshape(m * half, half)
+    if lookup_dtype == "bf16":
+        return jnp.concatenate(
+            [jnp.floor(t2f / 256.0), jnp.mod(t2f, 256.0)]
+        ).astype(jnp.bfloat16)
+    if lookup_dtype == "f32pack":
+        stacked = t2f.reshape(m, half, half)
+        if m % 2:
+            stacked = jnp.concatenate(
+                [stacked, jnp.zeros((1, half, half), jnp.float32)]
+            )
+        return (256.0 * stacked[0::2] + stacked[1::2]).reshape(-1, half)
+    return t2f
+
+
+@partial(jax.jit, static_argnames=("m", "nbins", "lookup_dtype", "chunk", "interpret"))
+def pack_lookup_roundtrip(s_stack, *, m, nbins, lookup_dtype, chunk=CHUNK, interpret=None):
+    """g_c[v] for EVERY code v through the actual in-kernel lookup path.
+
+    The exactness certificate for decomposition-dependent variants
+    (f32pack): comparing all m*4^k looked-up entries against the integer
+    tables proves per-entry exactness on THIS chip's MXU - a far stronger
+    certificate than block-granular bitmap equality on one record (which a
+    wrong-but-never-bit-flipping first record could pass).  Returns
+    int32[m * ROWS, nbins // ROWS] with g_c[ROWS*r + i... ] laid out so
+    row block c holds cluster c's lookups of codes r * (nbins/ROWS) + i.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    half = 1 << (int(nbins).bit_length() // 2)
+    lanes = nbins // ROWS
+    t2 = _build_t2(s_stack, lookup_dtype, m, half)
+
+    def kernel(t2_ref, out_ref):
+        codes = (
+            jax.lax.broadcasted_iota(jnp.int32, (ROWS, lanes), 0) * lanes
+            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, lanes), 1)
+        )
+        g = _mxu_multi_lookup(t2_ref, codes, half, m, lookup_dtype, chunk)
+        for c in range(m):
+            out_ref[c * ROWS : (c + 1) * ROWS, :] = g[c]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m * ROWS, lanes), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(t2)
+
+
 def _fused_cluster_kernel(
     main_ref, halo_ref, t2_ref, meta_ref, bitmap_ref, carry_ref,
     *, k: int, specs: tuple, t: int, depth: int, block: int, half: int,
@@ -241,25 +297,7 @@ def fused_cluster_record_bitmaps(
         lambda i: jax.lax.dynamic_slice(codes_dev, ((i + 1) * t,), (hw,))
     )(jnp.arange(n_tiles))
     # T2[(c, u), h] = S_c[half*h + u]: row-stack of pre-transposed tables
-    t2f = jnp.transpose(
-        s_stack.reshape(m, half, half).astype(jnp.float32), (0, 2, 1)
-    ).reshape(m * half, half)
-    if lookup_dtype == "bf16":
-        # 8-bit limb split (see _mxu_multi_lookup); requires 0 <= S < 2^16,
-        # guaranteed by check_int32_headroom for integer summed profiles
-        t2 = jnp.concatenate(
-            [jnp.floor(t2f / 256.0), jnp.mod(t2f, 256.0)]
-        ).astype(jnp.bfloat16)
-    elif lookup_dtype == "f32pack":
-        # pair-packed tables (see _mxu_multi_lookup): 256*S_2c + S_2c+1
-        stacked = t2f.reshape(m, half, half)
-        if m % 2:
-            stacked = jnp.concatenate(
-                [stacked, jnp.zeros((1, half, half), jnp.float32)]
-            )
-        t2 = (256.0 * stacked[0::2] + stacked[1::2]).reshape(-1, half)
-    else:
-        t2 = t2f
+    t2 = _build_t2(s_stack, lookup_dtype, m, half)
     grid = (n_tiles // ROWS,)
     return pl.pallas_call(
         partial(

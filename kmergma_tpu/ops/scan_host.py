@@ -95,6 +95,10 @@ class HostScanEngine:
         return d
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
+        # seg_tracker (mid-record segment resume) applies to the
+        # single-device segmented pipeline only; this engine has no
+        # segmented path, so checkpointing stays per-record here
+
         codes = np.asarray(codes, dtype=np.int8)
         nw = codes.shape[0] - self.ws + 1
         assert nw >= 1

@@ -134,7 +134,7 @@ def _sharded_record_bitmaps_fused(
 
     Returns int32[n_dev * (spd * span // block)] (replicated).
     """
-    from ..ops.scan import _lower_bound_base, profile_lookup
+    from ..ops.scan import _lower_bound_base, profile_lookup, rolling_kmer_codes_jnp
     from ..ops.scan_fused import ROWS as FROWS, fused_record_bitmaps
 
     w = ws - k + 1
@@ -146,9 +146,7 @@ def _sharded_record_bitmaps_fused(
         codes = _unpack_codes(packed_local[0])
         base = jax.lax.axis_index("data").astype(jnp.int32) * jnp.int32(nw_own)
         head = jax.lax.slice(codes, (0,), (ws,))
-        kc = jnp.zeros(w, dtype=jnp.int32)
-        for j in range(k):
-            kc = kc + (head[j : j + w].astype(jnp.int32) << (2 * (k - 1 - j)))
+        kc = rolling_kmer_codes_jnp(head, k)
         g = profile_lookup(kc, s_prof)
         l0 = _lower_bound_base(kc, g, s_prof, w, r, depth)
         nw_loc = jnp.clip(nv[0] - base, 0, nw_own)
@@ -182,7 +180,7 @@ def _sharded_cluster_bitmaps_fused(
     (tile, cluster-block) exactly as the kernel emits; the host caller
     untangles per cluster.
     """
-    from ..ops.scan import _lower_bound_base, profile_lookup
+    from ..ops.scan import _lower_bound_base, profile_lookup, rolling_kmer_codes_jnp
     from ..ops.scan_cluster_fused import fused_cluster_record_bitmaps
     from ..ops.scan_fused import ROWS as FROWS
 
@@ -199,9 +197,7 @@ def _sharded_cluster_bitmaps_fused(
         for ci, (ws, r) in enumerate(specs):
             w = ws - k + 1
             head = jax.lax.slice(codes, (0,), (ws,))
-            kc = jnp.zeros(w, dtype=jnp.int32)
-            for j in range(k):
-                kc = kc + (head[j : j + w].astype(jnp.int32) << (2 * (k - 1 - j)))
+            kc = rolling_kmer_codes_jnp(head, k)
             g = profile_lookup(kc, s_st[ci])
             l0s.append(_lower_bound_base(kc, g, s_st[ci], w, r, depth).astype(jnp.int32))
             nw_locs.append(jnp.clip(nv[ci] - base, 0, nw_own))
@@ -270,6 +266,13 @@ class ShardedScanEngine(ScanEngine):
                 and bound_depth is not None
                 and bound_depth <= 16
             )
+        elif use_fused and (bound_depth is None or bound_depth > 16):
+            # fail fast like ScanEngine instead of a silent split-pass
+            # downgrade of an explicitly requested fused path
+            raise ValueError(
+                f"use_fused=True requires bound_depth <= 16 (got {bound_depth}): "
+                "the fused Mosaic kernel compiles at depth <= 16 only"
+            )
         self.sharded_fused = bool(use_fused) and bound_depth is not None and bound_depth <= 16
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -279,6 +282,10 @@ class ShardedScanEngine(ScanEngine):
         return ((self.ws, depth, (0,), (self.r,)),)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
+        # seg_tracker (mid-record segment resume) applies to the
+        # single-device segmented pipeline only; this engine has no
+        # segmented path, so checkpointing stays per-record here
+
         if collect_dists:  # debug path stays single-device
             return super().record_stream(codes, thr, collect_dists=True, codes_dev=codes_dev)
         codes = np.asarray(codes, dtype=np.int8)
@@ -367,6 +374,11 @@ class ShardedClusterScanEngine(ClusterScanEngine):
                 and 4**k <= 4096
                 and len(depths) == 1
                 and next(iter(depths)) <= 16
+            )
+        elif use_fused and (len(depths) != 1 or next(iter(depths)) > 16):
+            raise ValueError(
+                f"use_fused=True requires one shared bound_depth <= 16 across "
+                f"clusters (got depths {sorted(depths)})"
             )
         self.sharded_fused = (
             bool(use_fused) and len(depths) == 1 and next(iter(depths)) <= 16

@@ -202,6 +202,10 @@ class TPScanEngine(ScanEngine):
         self.s_sharded = shard_profile(s_profile, self.mesh)
 
     def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
+        # seg_tracker (mid-record segment resume) applies to the
+        # single-device segmented pipeline only; this engine has no
+        # segmented path, so checkpointing stays per-record here
+
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
         nw = n - self.ws + 1

@@ -36,21 +36,32 @@ class SegmentTracker:
     ckpt: "ScanCheckpoint"
     record_idx: int
 
-    def resume(self) -> tuple[int, list[np.ndarray]]:
-        """(#completed segments, their packed uint32 word arrays)."""
+    def resume(self, fingerprint: str) -> tuple[int, list[np.ndarray]]:
+        """(#completed segments, their packed uint32 word arrays).
+
+        ``fingerprint`` encodes every engine parameter that shapes the
+        stored words (chunk/block/threshold/...); persisted segments from a
+        run with DIFFERENT parameters are discarded instead of silently
+        misinterpreted (their word layout and segment offsets differ).
+        """
         c = self.ckpt
-        if c.seg_record != self.record_idx or c.seg_next == 0:
+        if (
+            c.seg_record != self.record_idx
+            or c.seg_next == 0
+            or c.seg_fingerprint != fingerprint
+        ):
             return 0, []
         return c.seg_next, [
             np.frombuffer(base64.b64decode(b), dtype=np.uint32) for b in c.seg_words
         ]
 
-    def done_segment(self, seg_idx: int, words: np.ndarray) -> None:
+    def done_segment(self, seg_idx: int, words: np.ndarray, fingerprint: str) -> None:
         c = self.ckpt
-        if c.seg_record != self.record_idx:
+        if c.seg_record != self.record_idx or c.seg_fingerprint != fingerprint:
             c.seg_record = self.record_idx
             c.seg_next = 0
             c.seg_words = []
+            c.seg_fingerprint = fingerprint
         c.seg_words.append(
             base64.b64encode(
                 np.ascontiguousarray(words, dtype=np.uint32).tobytes()
@@ -71,6 +82,7 @@ class ScanCheckpoint:
     seg_record: int = -1  # record with partial (mid-record) progress
     seg_next: int = 0  # its next segment index
     seg_words: list[str] = field(default_factory=list)  # per-segment packed words (b64)
+    seg_fingerprint: str = ""  # engine-parameter fingerprint of seg_words
 
     @classmethod
     def load_or_create(cls, path: str, genome_id: str) -> "ScanCheckpoint":
@@ -88,6 +100,7 @@ class ScanCheckpoint:
                     seg_record=data.get("seg_record", -1),
                     seg_next=data.get("seg_next", 0),
                     seg_words=data.get("seg_words", []),
+                    seg_fingerprint=data.get("seg_fingerprint", ""),
                 )
         return cls(path=path, genome_id=genome_id)
 
@@ -102,6 +115,7 @@ class ScanCheckpoint:
         )
         self.hit_loci.extend(new_loci)
         self.seg_record, self.seg_next, self.seg_words = -1, 0, []
+        self.seg_fingerprint = ""
         self._write()
 
     def _write(self) -> None:
@@ -114,6 +128,7 @@ class ScanCheckpoint:
             "seg_record": self.seg_record,
             "seg_next": self.seg_next,
             "seg_words": self.seg_words,
+            "seg_fingerprint": self.seg_fingerprint,
         }
         d = os.path.dirname(os.path.abspath(self.path)) or "."
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")

@@ -230,8 +230,8 @@ def test_mid_record_segment_resume(tmp_path, ref_fasta):
         if tracker is not None:
             orig_done = tracker.done_segment
 
-            def counting_done(si, words):
-                orig_done(si, words)
+            def counting_done(si, words, fp):
+                orig_done(si, words, fp)
                 calls["segments"] += 1
                 if calls["segments"] >= 4:
                     raise KeyboardInterrupt("killed mid-record")
@@ -257,3 +257,57 @@ def test_mid_record_segment_resume(tmp_path, ref_fasta):
     import os
 
     assert not os.path.exists(ckpt)  # completed -> checkpoint removed
+
+
+def test_segment_resume_discards_stale_parameters(tmp_path, ref_fasta):
+    """Persisted segment words from a run with DIFFERENT engine parameters
+    must be discarded on resume (their word layout/offsets differ), not
+    silently misread - results must still be exact."""
+    import json
+
+    from kmergma_tpu.models.miner import mine_genome
+    from kmergma_tpu.utils.fasta import FastaRecord, as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    rng = np.random.default_rng(6)
+    n = 120_000
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, n)]
+    refs = as_records(ref_fasta)
+    g = refs[0].seq.upper()
+    seq[40_000 : 40_000 + len(g)] = np.frombuffer(g, dtype=np.uint8)
+    record = FastaRecord("big", seq.tobytes())
+
+    eng_a = ScanEngine(profile.sum_kfv, k=6, ws=profile.windowsize,
+                       r=profile.n_records, chunk_windows=4096)
+    baseline = mine_genome([record], profile, thr=30, engine=eng_a, get_hit_loci=True)
+
+    # run 1 dies after 2 segments with chunk 4096
+    real = eng_a._segmented_bitmaps
+    count = {"n": 0}
+
+    def killer(codes, nw, thr_int, tracker=None):
+        if tracker is not None:
+            orig = tracker.done_segment
+
+            def boom(si, words, fp):
+                orig(si, words, fp)
+                count["n"] += 1
+                if count["n"] >= 2:
+                    raise KeyboardInterrupt()
+
+            tracker.done_segment = boom
+        return real(codes, nw, thr_int, tracker)
+
+    eng_a._segmented_bitmaps = killer
+    ckpt = str(tmp_path / "stale.ckpt")
+    with pytest.raises(KeyboardInterrupt):
+        mine_genome([record], profile, thr=30, engine=eng_a, checkpoint_path=ckpt)
+    assert json.load(open(ckpt))["seg_next"] >= 2
+
+    # run 2 resumes with a DIFFERENT chunk: stored segments must be ignored
+    eng_b = ScanEngine(profile.sum_kfv, k=6, ws=profile.windowsize,
+                       r=profile.n_records, chunk_windows=8192)
+    res = mine_genome([record], profile, thr=30, engine=eng_b,
+                      checkpoint_path=ckpt, get_hit_loci=True)
+    assert [h.description for h in res.hits] == [h.description for h in baseline.hits]
+    assert res.hit_loci == baseline.hit_loci
