@@ -172,18 +172,16 @@ def _get_jit():
     @partial(jax.jit, static_argnames=("m", "n", "go", "ge"))
     def run(a_sub, a_idx, bmat, *, m, n, go, ge):
         H, E, F, subs = _forward(a_sub, bmat, jnp.int32(go), jnp.int32(ge))
-        # per-hit layout for the traceback
-        Hb = jnp.transpose(H, (1, 0, 2))  # (B, m+1, n+1)
-        Eb = jnp.transpose(E, (1, 0, 2))
-        Fb = jnp.transpose(F, (1, 0, 2))
-        subs_b = jnp.transpose(subs, (1, 0, 2))  # (B, m, n)
 
         def one(Hb1, Eb1, Fb1, s1, b1):
             return _traceback_one(
                 Hb1, Eb1, Fb1, s1, a_idx, b1, jnp.int32(go), jnp.int32(ge), m, n
             )
 
-        return jax.vmap(one)(Hb, Eb, Fb, subs_b, bmat)
+        # vmap over the BATCH axis in place (axis 1 of the row-major DP
+        # tensors) - materialising (B, m+1, n+1) transposes relayouts
+        # 3 x ~136 MB at 100 hits for nothing
+        return jax.vmap(one, in_axes=(1, 1, 1, 1, 0))(H, E, F, subs, bmat)
 
     _fwd_tb_jit = run
     return run

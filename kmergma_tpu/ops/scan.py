@@ -279,16 +279,25 @@ def _first_window_l0(codes_dev, s_profile, *, k, ws, r, depth):
     return _lower_bound_base(kc, g, s_profile, w, r, depth)
 
 
-@partial(jax.jit, static_argnames=("k", "ws", "r", "depth"))
-def _fused_meta(codes_dev, s_profile, thr_nw, *, k, ws, r, depth):
-    """[thr, l0, nw] for the fused kernel in ONE dispatch (the separate
-    l0 jit + host-side stack cost an extra round trip per record)."""
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "t", "block", "n_tiles", "lookup"))
+def _fused_all(codes_dev, s_profile, thr_nw, *, k, ws, r, depth, t, block, n_tiles, lookup):
+    """The whole fused single-profile bitmap pass in ONE dispatch: the
+    first-window bound (touches only the first ws codes), the [thr, l0,
+    nw] meta, the fused Mosaic kernel, and the output bit-packing - the
+    split-up version cost three dispatch round trips per record."""
+    from .scan_fused import fused_record_bitmaps
+
     w = ws - k + 1
     head = jax.lax.slice(codes_dev, (0,), (ws,))
     kc = rolling_kmer_codes_jnp(head, k)
     g = profile_lookup(kc, s_profile)
     l0 = _lower_bound_base(kc, g, s_profile, w, r, depth)
-    return jnp.stack([thr_nw[0], l0.astype(jnp.int32), thr_nw[1]])
+    meta = jnp.stack([thr_nw[0], l0.astype(jnp.int32), thr_nw[1]])
+    bm = fused_record_bitmaps(
+        codes_dev, s_profile, meta, k=k, ws=ws, r=r, depth=depth,
+        t=t, block=block, n_tiles=n_tiles, lookup=lookup,
+    )
+    return _pack_bitmap_words(bm.reshape(-1))
 
 
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
@@ -975,7 +984,7 @@ class ScanEngine:
             fused_ws = self.ws
         if fused_ws is not None:
             # the fused kernel tiles nw up to ROWS x t windows and reads one
-            # tile + halo beyond (see _fused_bitmaps_handle; the cluster
+            # tile + halo beyond (see _fused_words; the cluster
             # engine passes its max windowsize via ``fused_ws``)
             from .scan_fused import ROWS as FROWS
 
@@ -1112,12 +1121,12 @@ class ScanEngine:
         dist0, stream = self._assemble_stream(prep, nw, thr, bitmaps)
         return dist0, stream, full_dists
 
-    def _fused_bitmaps_handle(self, prep: PreparedCodes, nw: int, thr_int):
-        """Dispatch the fully-fused Mosaic bitmap kernel (ops/scan_fused.py):
-        one pallas_call, no per-span lax.scan, no XLA K-code/lookup/cumsum
-        glue; the first-window bound l0 is computed ON DEVICE so nothing
-        blocks before the caller fetches.  Returns the device handle."""
-        from .scan_fused import ROWS as FROWS, fused_record_bitmaps
+    def _fused_words(self, prep: PreparedCodes, nw: int, thr_int):
+        """Dispatch the fully-fused Mosaic bitmap pass (ops/scan_fused.py)
+        as ONE device call - first-window bound, meta, kernel and bit-pack
+        all inside a single jit (three fewer dispatch round trips per
+        record on remote TPUs).  Returns (packed words handle, n_blocks)."""
+        from .scan_fused import ROWS as FROWS
 
         t = self.fused_t
         w = self.ws - self.k + 1
@@ -1126,7 +1135,6 @@ class ScanEngine:
         n_tiles = -(-n_tiles // FROWS) * FROWS
         if prep.dev.shape[0] < n_tiles * t + t + hw:
             raise AssertionError("prepared record too small for the fused tiling")
-        depth = self.bound_depth
         key = ("tnw", int(thr_int), nw)
         thr_nw = self._meta_cache.get(key)
         if thr_nw is None:
@@ -1134,22 +1142,17 @@ class ScanEngine:
                 self._meta_cache.clear()
             thr_nw = jnp.asarray(np.asarray([int(thr_int), nw], dtype=np.int32))
             self._meta_cache[key] = thr_nw
-        meta = _fused_meta(
-            prep.dev, self.s_dev, thr_nw, k=self.k, ws=self.ws, r=self.r, depth=depth
-        )
-        return fused_record_bitmaps(
-            prep.dev, self.s_dev, meta,
-            k=self.k, ws=self.ws, r=self.r, depth=depth,
+        words = _fused_all(
+            prep.dev, self.s_dev, thr_nw,
+            k=self.k, ws=self.ws, r=self.r, depth=self.bound_depth,
             t=t, block=self.block, n_tiles=n_tiles,
             lookup="mxu" if self._s_max < 256 else "mxu_limbs",
         )
+        return words, n_tiles * (t // self.block)
 
     def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
-        handle = self._fused_bitmaps_handle(prep, nw, thr_int)
-        n_blocks = handle.shape[0] * handle.shape[1]
-        return _unpack_bitmap_words(
-            np.asarray(_pack_bitmap_words(handle.reshape(-1))), n_blocks
-        )
+        words, n_blocks = self._fused_words(prep, nw, thr_int)
+        return _unpack_bitmap_words(np.asarray(words), n_blocks)
 
     def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int, tracker=None) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.
@@ -1206,7 +1209,8 @@ class ScanEngine:
             # an extra span - those trailing blocks are trimmed below)
             nv_seg = min(nw - off, seg)
             if fused:
-                bm = self._fused_bitmaps_handle(prep, nv_seg, int(thr_int))
+                # one merged dispatch incl. the bit-pack (_fused_words)
+                wh, _nb = self._fused_words(prep, nv_seg, int(thr_int))
             else:
                 bm = _scan_record_bitmaps(
                     prep.dev, self._nv(nv_seg), self.s_dev, thr_dev,
@@ -1214,8 +1218,9 @@ class ScanEngine:
                     n_spans=prep.n_spans, use_pallas=self.use_pallas,
                     depth=self.bound_depth,
                 )
-            # bit-pack ON DISPATCH so the deferred fetch ships 1 bit/block
-            pending.append((si, prep, _pack_bitmap_words(bm.reshape(-1))))
+                # bit-pack ON DISPATCH so the deferred fetch ships 1 bit/block
+                wh = _pack_bitmap_words(bm.reshape(-1))
+            pending.append((si, prep, wh))
             if len(pending) > 2:  # fetch behind the dispatch front
                 fetch_one()
         while pending:

@@ -39,14 +39,16 @@ from .scan import (
 )
 
 
-@partial(jax.jit, static_argnames=("k", "specs", "depth"))
-def _fused_cluster_meta(codes_dev, s_stack, small, *, k, specs, depth):
-    """Build the fused multi-cluster kernel's meta vector in ONE dispatch:
-    [nw_c..., thr_c...] (``small``, host-cached) ++ [l0_c...] - the m
-    per-cluster first-window bounds each touch only the first ws_c codes,
-    so m separate _first_window_l0 dispatches were pure round-trip latency
-    on the remote TPU."""
-    from .scan import _lower_bound_base, profile_lookup
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "lookup_dtype", "chunk"))
+def _fused_cluster_all(codes_dev, s_stack, small, *, k, specs, depth, t, block, n_tiles, lookup_dtype, chunk):
+    """The whole fused cluster bitmap pass in ONE dispatch: per-cluster
+    first-window bounds (each touches only the first ws_c codes - m
+    separate _first_window_l0 dispatches were pure round-trip latency on
+    the remote TPU), meta assembly, the fused multi-cluster kernel, and
+    the bit-packing of its output.  ``small`` is the host-cached
+    [nw_c..., thr_c...] vector; returns packed uint32 words."""
+    from .scan import _lower_bound_base, _pack_bitmap_words, profile_lookup
+    from .scan_cluster_fused import fused_cluster_record_bitmaps
 
     l0s = []
     for ci, (ws, r) in enumerate(specs):
@@ -54,7 +56,14 @@ def _fused_cluster_meta(codes_dev, s_stack, small, *, k, specs, depth):
         kc = rolling_kmer_codes_jnp(head, k)
         g = profile_lookup(kc, s_stack[ci])
         l0s.append(_lower_bound_base(kc, g, s_stack[ci], ws - k + 1, r, depth))
-    return jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+    meta = jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+    handle = fused_cluster_record_bitmaps(
+        codes_dev, s_stack, meta,
+        k=k, specs=tuple((ws - k + 1, r) for ws, r in specs), depth=depth,
+        t=t, block=block, n_tiles=n_tiles, lookup_dtype=lookup_dtype,
+        chunk=chunk,
+    )  # (n_tiles, m * (t // block))
+    return _pack_bitmap_words(handle.reshape(-1))
 
 
 def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
@@ -289,7 +298,6 @@ class ClusterScanEngine:
 
     def _fused_cluster_bitmaps(self, prep, n_valids, thr_ints) -> np.ndarray:
         """Whole-record fused pass: returns bool[m, n_blocks] bitmaps."""
-        from .scan_cluster_fused import fused_cluster_record_bitmaps
         from .scan_fused import ROWS as FROWS
 
         t = self.engines[0].fused_t
@@ -299,7 +307,7 @@ class ClusterScanEngine:
         max_w = self.max_ws - self.k + 1
         hw = -(-(max_w + 1) // 128) * 128 + 128
         if prep.dev.shape[0] < n_tiles * t + t + hw:
-            # mirror scan._fused_bitmaps_handle: an undersized codes_dev
+            # mirror scan._fused_words: an undersized codes_dev
             # (e.g. a manually-built PreparedCodes) would make the halo
             # dynamic_slice clamp and yield silently wrong bitmaps near the
             # record end
@@ -311,12 +319,7 @@ class ClusterScanEngine:
                 self._small_cache.clear()
             small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
             self._small_cache[key] = small
-        meta = _fused_cluster_meta(
-            prep.dev, self.s_stack, small,
-            k=self.k, specs=tuple((e.ws, e.r) for e in self.engines), depth=depth,
-        )
-        specs = tuple((e.ws - self.k + 1, e.r) for e in self.engines)
-        from .scan import _pack_bitmap_words, _unpack_bitmap_words
+        from .scan import _unpack_bitmap_words
 
         ld = self.lookup_dtype
         if ld == "f32pack" and self._s_max >= 256:
@@ -346,16 +349,15 @@ class ClusterScanEngine:
                 want = np.asarray(self.s_stack).reshape(m, _R, nbins // _R)
                 ok = np.array_equal(got.reshape(m, _R, nbins // _R), want)
                 ld = self._auto_resolved = "f32pack" if ok else "f32"
-        handle = fused_cluster_record_bitmaps(
-            prep.dev, self.s_stack, meta,
-            k=self.k, specs=specs, depth=depth, t=t, block=self.block,
-            n_tiles=n_tiles, lookup_dtype=ld, chunk=self.lookup_chunk,
-        )  # (n_tiles, m * (t // block))
+        words = _fused_cluster_all(
+            prep.dev, self.s_stack, small,
+            k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
+            depth=depth, t=t, block=self.block, n_tiles=n_tiles,
+            lookup_dtype=ld, chunk=self.lookup_chunk,
+        )  # one dispatch: l0s + meta + kernel + bit-pack
         m = len(self.engines)
         tb = t // self.block
-        flat = _unpack_bitmap_words(
-            np.asarray(_pack_bitmap_words(handle.reshape(-1))), n_tiles * m * tb
-        )
+        flat = _unpack_bitmap_words(np.asarray(words), n_tiles * m * tb)
         return flat.reshape(n_tiles, m, tb).transpose(1, 0, 2).reshape(m, -1)
 
     def record_streams(
