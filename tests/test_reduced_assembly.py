@@ -97,3 +97,53 @@ def test_extract_runs_semantics():
     assert run_lo.tolist() == [5]
     assert run_hi.tolist() == [8]
     assert edge.tolist() == [-1]  # edge at 9 > max_index
+
+
+def test_cluster_reduced_matches_full_replay():
+    """Cluster-mode reduced assembly (batched per-cluster run reductions,
+    imax truncation) must replay bit-identically to full-fetch mode on a
+    synthetic dense record."""
+    from kmergma_tpu.models.state_machine import OmnHitEvent, replay_omn
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    rng = np.random.default_rng(9)
+    k = 5
+    n = 50_000
+
+    class P:
+        def __init__(self, ws, r, seed):
+            g = np.random.default_rng(seed)
+            self.windowsize = ws
+            self.n_records = r
+            self.sum_kfv = np.zeros(4**k, dtype=np.int64)
+            self.refs = [g.integers(0, 4, ws, dtype=np.int8) for _ in range(r)]
+            for ref in self.refs:
+                self.sum_kfv += kmer_count(ref, k).astype(np.int64)
+
+    profiles = [P(120, 3, 1), P(122, 2, 2), P(121, 4, 3)]
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    for pos in range(3_000, n - 200, 6_000):
+        src = profiles[pos % 3]
+        mutant = src.refs[pos % src.n_records].copy()
+        idx = rng.integers(0, src.windowsize, 20)
+        mutant[idx] = rng.integers(0, 4, 20)
+        codes[pos : pos + src.windowsize] = mutant
+    thrs = [14.0, 13.5, 14.5]
+
+    def events(mode):
+        eng = ClusterScanEngine(profiles, k=k, chunk_windows=1 << 12)
+        eng.engines[0].assemble_mode = mode
+        eng.engines[0].full_fetch_windows = 0
+        pairs = eng.record_streams(codes, thrs)
+        got = []
+        replay_omn(
+            [p[1] for p in pairs], [p[0] for p in pairs], thrs, k,
+            [p.windowsize for p in profiles], n,
+            lambda ev: got.append((ev.cluster, ev.cmi, ev.dist, ev.edge_dist)) or True,
+        )
+        return got
+
+    full = events("full")
+    reduced = events("reduced")
+    assert reduced == full
+    assert len(full) > 0
