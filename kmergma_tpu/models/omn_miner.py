@@ -80,8 +80,28 @@ def mine_genome_clusters(
         res.hits.extend(ckpt.restore_hits())
         res.hit_loci.extend(ckpt.hit_loci)
 
+    records = as_records(genome)
+
+    # Cross-record transfer-compute overlap (mirrors models/miner.py): the
+    # NEXT eligible record's (async) H2D is dispatched before the current
+    # record's streams are assembled, so multi-contig cluster scans keep
+    # the link busy under compute.  The sharded cluster engine manages its
+    # own per-shard transfers and opts out via prepare_codes() -> None.
+    prefetched: dict[int, object] = {}
+
+    def _prefetch_after(idx: int) -> None:
+        for j in range(idx + 1, len(records)):
+            if ckpt and j < ckpt.next_record:
+                continue
+            n_j = len(records[j])
+            if n_j - maxws - k + 2 >= 1:
+                # bound double-held device memory like miner.py's gate
+                if n_j <= 2 * cluster_engine.chunk and j not in prefetched:
+                    prefetched[j] = cluster_engine.prepare_codes(records[j].codes)
+                return
+
     genome_pos = ckpt.genome_pos if ckpt else 0
-    for record_idx, record in enumerate(as_records(genome)):
+    for record_idx, record in enumerate(records):
         if ckpt and record_idx < ckpt.next_record:
             continue
         hits_before, loci_before = len(res.hits), len(res.hit_loci)
@@ -98,7 +118,10 @@ def mine_genome_clusters(
         stats.windows_scanned += m * imax
 
         # one H2D per record, shared by all cluster engines
-        shared_dev = cluster_engine.prepare_codes(record.codes)
+        shared_dev = prefetched.pop(record_idx, None)
+        if shared_dev is None:
+            shared_dev = cluster_engine.prepare_codes(record.codes)
+        _prefetch_after(record_idx)
         if do_return_dists:
             # debug path: full per-window distances need the dense per-
             # cluster scan (one device pass per cluster)
