@@ -96,7 +96,9 @@ def mine_genome_clusters(
             n_j = len(records[j])
             if n_j - maxws - k + 2 >= 1:
                 # bound double-held device memory like miner.py's gate
-                if n_j <= 2 * cluster_engine.chunk and j not in prefetched:
+                # (test doubles / exotic engines may lack ``chunk``)
+                limit = 2 * getattr(cluster_engine, "chunk", 0)
+                if n_j <= limit and j not in prefetched:
                     prefetched[j] = cluster_engine.prepare_codes(records[j].codes)
                 return
 
