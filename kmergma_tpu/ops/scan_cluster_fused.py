@@ -214,15 +214,22 @@ def _fused_cluster_kernel(
     for j in range(1, k):
         kcodes = kcodes + (codes[:, j : j + lk] << (2 * (k - 1 - j)))
 
-    # --- shared pair stream per depth, per-GROUP entering accumulators ---
+    # --- shared pair stream per depth, ONE width-independent entering
+    # accumulator (the roll split-kernel's trick, r4): a_acc[w][j] =
+    # A[j + w - amin] with A[x] = sum_d eq_d[amin + x - d], so every
+    # windowsize group is a STATIC SLICE of one accumulator instead of its
+    # own per-depth add - (G-1) fewer t-wide adds per depth, bit-exact
+    # (pure reassociation of integer adds) ---
     ws_groups = sorted({w for w, _r in specs})
-    a_acc = {w: jnp.zeros((ROWS, t), dtype=jnp.int32) for w in ws_groups}
+    amin, amax = ws_groups[0], ws_groups[-1]
+    awidth = t + (amax - amin)
+    a_stream = jnp.zeros((ROWS, awidth), dtype=jnp.int32)
     b_acc = jnp.zeros((ROWS, t), dtype=jnp.int32)
     for d in range(1, depth + 1):
         eq = (kcodes[:, : lk - d] == kcodes[:, d:lk]).astype(jnp.int32)
         b_acc = b_acc + eq[:, :t]
-        for w in ws_groups:
-            a_acc[w] = a_acc[w] + eq[:, w - d : w - d + t]
+        a_stream = a_stream + eq[:, amin - d : amin - d + awidth]
+    a_acc = {w: a_stream[:, w - amin : w - amin + t] for w in ws_groups}
 
     # --- all m profile projections in one chunked MXU pass ---
     g_all = _mxu_multi_lookup(t2_ref, kcodes, half, m, lookup_dtype, chunk)
