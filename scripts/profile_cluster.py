@@ -115,7 +115,7 @@ if ceng.use_fused:
     # NOTE r4: t=16384 at m=6 exceeds scoped VMEM (24M > 16M) and the
     # failed Mosaic compile left the backend in FAILED_PRECONDITION for the
     # rest of the process - keep only known-compiling variants here and
-    # put risky compiles in their own session (tpu_session6_r4.log)
+    # put risky compiles in their own session (logs/tpu_session6_r4.log)
     for ld, lchunk, ft in (
         ("f32", 2048, 8192), ("f32", 4096, 8192),
     ):
