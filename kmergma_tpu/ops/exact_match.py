@@ -143,6 +143,10 @@ def _prefix_match_bitmaps_fn():
 
 _bitmaps_jit = None
 _subject_cache: dict = {}  # (id, len, hash, total) -> device codes
+# Cap on HBM pinned by cached subject code arrays (int8, `total` bytes per
+# entry).  Without a byte cap, four 512 Mbp subjects would pin ~2 GB of a
+# 16 GB v5e indefinitely (advisor r4).  Oldest entries evict first.
+_SUBJECT_CACHE_MAX_BYTES = 1 << 30
 
 
 def _query_register(q: bytes) -> tuple[int, int]:
@@ -194,6 +198,14 @@ def match_starts_engine(sub: bytes, q: bytes) -> np.ndarray:
     key = (id(sub), n, hash(sub), total)
     codes_dev = _subject_cache.get(key)
     if codes_dev is None:
+        # evict oldest entries until the new entry fits the byte budget
+        # (dict preserves insertion order); a single over-budget subject
+        # still gets cached alone so repeat queries reuse its transfer
+        held = sum(k[3] for k in _subject_cache)
+        while _subject_cache and held + total > _SUBJECT_CACHE_MAX_BYTES:
+            oldest = next(iter(_subject_cache))
+            del _subject_cache[oldest]
+            held -= oldest[3]
         if len(_subject_cache) >= 4:
             _subject_cache.clear()
         codes = encode_seq(sub)

@@ -1382,6 +1382,14 @@ class ScanEngine:
         request, [mins | argmins | edge_vals]."""
         n_pieces = sum(len(r[0]) for r in requests)
         n_edges = sum(len(r[2]) for r in requests)
+        # flat distance indices ride int32 in the packed request; the
+        # record-length (<2^31-2 bp) and cluster flat-total (<2^31) guards
+        # keep them in range - assert rather than silently wrap (advisor r4)
+        for ps, _pl, el in requests:
+            if (len(ps) and int(np.max(ps)) >= 2**31) or (
+                len(el) and int(np.max(el)) >= 2**31
+            ):
+                raise AssertionError("flat distance index exceeds int32 range")
         np_b = _span_bucket(max(1, n_pieces))
         ne_b = _span_bucket(max(1, n_edges))
         packed = np.zeros(2 * np_b + ne_b, dtype=np.int32)

@@ -484,9 +484,13 @@ class ClusterScanEngine:
                 use_pallas=self.use_pallas,
             )
         )
-        if m * n_regions * rspan <= e0.full_fetch_windows:
+        flat_total = m * n_regions * rspan
+        if flat_total <= e0.full_fetch_windows or flat_total >= 2**31:
             # few active regions across all clusters: one raw fetch beats
-            # the words+reduce round-trip pair (sparse real genomes)
+            # the words+reduce round-trip pair (sparse real genomes).
+            # The >= 2^31 guard keeps the reduced path's packed int32
+            # flat indices (base = ci*n_regions*rspan) from wrapping on a
+            # pathologically large dense multi-cluster record (advisor r4)
             d_flat = _with_retry(lambda: np.asarray(d_flat_h))
             return self._streams_full_fetch(
                 d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
@@ -504,6 +508,10 @@ class ClusterScanEngine:
         ]
 
         imax = None if seq_len is None else seq_len - self.max_ws - self.k + 2
+        # each cluster's packed below-bit words are exactly this long ONLY
+        # because chunk is forced to a multiple of block=512 by the engine;
+        # make that cross-module coupling explicit (advisor r4)
+        assert n_regions * rspan % 32 == 0, (n_regions, rspan)
         words_per = n_regions * rspan // 32
         requests = []
         infos = []
