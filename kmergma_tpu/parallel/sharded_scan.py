@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.scan import (
     ScanEngine,
     _span_bucket,
+    _unpack_bitmap_words,
     _unpack_codes,
     _with_retry,
     scan_window_distances,
@@ -281,11 +282,11 @@ class ShardedScanEngine(ScanEngine):
         depth = self.bound_depth if self.bound_depth is not None else self.ws - self.k
         return ((self.ws, depth, (0,), (self.r,)),)
 
-    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
-        # seg_tracker (mid-record segment resume) applies to the
-        # single-device segmented pipeline only; this engine has no
-        # segmented path, so checkpointing stays per-record here
+    # spans per device per segment batch on the checkpointed mid-record
+    # path: one batch = n_dev * _seg_spd * chunk windows, one SPMD dispatch
+    _seg_spd = 4
 
+    def record_stream(self, codes: np.ndarray, thr: float, collect_dists: bool = False, codes_dev=None, seg_tracker=None):
         if collect_dists:  # debug path stays single-device
             return super().record_stream(codes, thr, collect_dists=True, codes_dev=codes_dev)
         codes = np.asarray(codes, dtype=np.int8)
@@ -298,9 +299,23 @@ class ShardedScanEngine(ScanEngine):
         thr_int = self._thr_int(thr)
         if self._thr_cache is None or self._thr_cache[0] != float(thr_int):
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
+        if seg_tracker is not None:
+            flat = self._segmented_sharded_bitmaps(codes, nw, thr_int, seg_tracker)
+            if flat is not None:
+                dist0, stream = self._assemble_stream(codes, nw, thr, flat)
+                return dist0, stream, None
+        flat = _with_retry(lambda: self._sharded_pass(codes, nw, spd))
+        dist0, stream = self._assemble_stream(codes, nw, thr, flat)
+        return dist0, stream, None
+
+    def _sharded_pass(self, codes: np.ndarray, nv: int, spd: int) -> np.ndarray:
+        """ONE SPMD bitmap dispatch over the mesh: device d scans spans
+        [d*spd, (d+1)*spd) of the window range starting at codes[0];
+        ``nv`` = #valid windows in this pass.  Returns the flat bool
+        per-block activity bitmap (n_dev * spd * chunk / block blocks)."""
+        n_dev = self.mesh.shape["data"]
         t = self.fused_t
-        fused = self.sharded_fused and self.chunk % t == 0
-        if fused:
+        if self.sharded_fused and self.chunk % t == 0:
             from ..ops.scan_fused import ROWS as FROWS
 
             w = self.ws - self.k + 1
@@ -309,35 +324,74 @@ class ShardedScanEngine(ScanEngine):
             region_len = n_tiles * t + t + hw
             rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.ws, region_len)
             rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
-            flat = _with_retry(
-                lambda: np.asarray(
-                    _sharded_record_bitmaps_fused(
-                        rows_dev, self._nv(nw), self.s_dev, self._thr_cache[1],
-                        k=self.k, ws=self.ws, r=self.r, depth=self.bound_depth,
-                        span=self.chunk, spd=spd, t=t, block=self.block,
-                        mesh=self.mesh, interpret=jax.default_backend() != "tpu",
-                        lookup="mxu" if self._s_max < 256 else "mxu_limbs",
-                    )
+            return np.asarray(
+                _sharded_record_bitmaps_fused(
+                    rows_dev, self._nv(nv), self.s_dev, self._thr_cache[1],
+                    k=self.k, ws=self.ws, r=self.r, depth=self.bound_depth,
+                    span=self.chunk, spd=spd, t=t, block=self.block,
+                    mesh=self.mesh, interpret=jax.default_backend() != "tpu",
+                    lookup="mxu" if self._s_max < 256 else "mxu_limbs",
                 )
             ).astype(bool)
-            dist0, stream = self._assemble_stream(codes, nw, thr, flat)
-            return dist0, stream, None
         rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.ws)
         rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
-        bitmaps = _with_retry(
-            lambda: np.asarray(
-                _sharded_record_bitmaps(
-                    rows_dev,
-                    self._nv(nw),
-                    self.s_dev[None],
-                    self._thr_cache[1],
-                    k=self.k, span=self.chunk, spd=spd, block=self.block,
-                    use_pallas=self.use_pallas, groups=self._groups, mesh=self.mesh,
-                )
+        bitmaps = np.asarray(
+            _sharded_record_bitmaps(
+                rows_dev,
+                self._nv(nv),
+                self.s_dev[None],
+                self._thr_cache[1],
+                k=self.k, span=self.chunk, spd=spd, block=self.block,
+                use_pallas=self.use_pallas, groups=self._groups, mesh=self.mesh,
             )
         )
-        dist0, stream = self._assemble_stream(codes, nw, thr, bitmaps[:, 0, :].reshape(-1))
-        return dist0, stream, None
+        return bitmaps[:, 0, :].reshape(-1).astype(bool)
+
+    def _segmented_sharded_bitmaps(self, codes: np.ndarray, nw: int, thr_int, tracker):
+        """Mid-record checkpointed sharded pass (SURVEY 5.4: "last completed
+        tile index per shard"; VERDICT r4 next-round #4).
+
+        Splits the record's span axis into segment batches of
+        n_dev * _seg_spd spans; each batch is one SPMD dispatch (every
+        shard scans _seg_spd spans), and each completed batch's packed
+        bitmap words are persisted through ``tracker`` (the same
+        SegmentTracker format as the single-device segmented pipeline) -
+        a killed scan of a multi-hundred-Mbp record resumes at the last
+        batch every shard finished instead of from zero.  Returns None
+        when the record fits a single batch (per-record checkpointing is
+        already exact there).  Per-batch bitmaps are a conservative
+        superset exactly like the unsegmented pass (each batch's carry
+        is seeded locally, as each shard's already is), so the assembled
+        stream is bit-identical (tests/test_fault_tolerance.py).
+        """
+        n_dev = self.mesh.shape["data"]
+        n_spans = -(-nw // self.chunk)
+        spd_full = _span_bucket(max(1, -(-n_spans // n_dev)))
+        spd = self._seg_spd
+        if spd_full <= spd:
+            return None
+        seg_windows = n_dev * spd * self.chunk
+        n_segs = -(-nw // seg_windows)
+        blocks_per_seg = seg_windows // self.block
+        fused = self.sharded_fused and self.chunk % self.fused_t == 0
+        # every parameter that shapes the stored words or their offsets -
+        # stale-parameter checkpoints are discarded, not misread
+        fp = (
+            f"sharded|{self.k}|{self.ws}|{self.r}|{self.chunk}|{self.block}|"
+            f"{int(thr_int)}|{self.bound_depth}|{fused}|{n_dev}|{spd}|{nw}"
+        )
+        start_seg, restored = tracker.resume(fp)
+        out = [_unpack_bitmap_words(w, blocks_per_seg) for w in restored]
+        pad = -(-blocks_per_seg // 32) * 32 - blocks_per_seg
+        for si in range(start_seg, n_segs):
+            off = si * seg_windows
+            nv_seg = min(nw - off, seg_windows)
+            flat = _with_retry(lambda: self._sharded_pass(codes[off:], nv_seg, spd))
+            flat = flat[:blocks_per_seg]
+            words = np.packbits(np.pad(flat, (0, pad)), bitorder="little").view(np.uint32)
+            out.append(flat)
+            tracker.done_segment(si, words, fp)
+        return np.concatenate(out)
 
 
 class ShardedClusterScanEngine(ClusterScanEngine):

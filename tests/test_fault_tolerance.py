@@ -311,3 +311,102 @@ def test_segment_resume_discards_stale_parameters(tmp_path, ref_fasta):
                       checkpoint_path=ckpt, get_hit_loci=True)
     assert [h.description for h in res.hits] == [h.description for h in baseline.hits]
     assert res.hit_loci == baseline.hit_loci
+
+
+def test_sharded_mid_record_segment_resume(tmp_path, ref_fasta):
+    """Sharded engine: a record spanning >=3 segment batches killed
+    mid-scan resumes from the last batch every shard completed, and only
+    the remaining batches are recomputed (SURVEY 5.4 'last completed tile
+    index per shard'; VERDICT r4 next-round #4)."""
+    import json
+    import os
+
+    from kmergma_tpu.models.miner import mine_genome
+    from kmergma_tpu.parallel.mesh import make_mesh
+    from kmergma_tpu.parallel.sharded_scan import ShardedScanEngine
+    from kmergma_tpu.utils.fasta import FastaRecord, as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    rng = np.random.default_rng(7)
+    n = 120_000
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, n)].copy()
+    refs = as_records(ref_fasta)
+    for pos in (15_000, 48_000, 76_000, 104_000):  # genes in distinct batches
+        g = refs[pos % len(refs)].seq.upper()
+        seq[pos : pos + len(g)] = np.frombuffer(g, dtype=np.uint8)
+    record = FastaRecord("big", seq.tobytes())
+
+    # nw ~ 119.7k windows / (8 dev * 4 spans * 1024) -> 4 segment batches
+    engine = ShardedScanEngine(
+        profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
+        mesh=make_mesh(8), chunk_windows=1024,
+    )
+    baseline = mine_genome([record], profile, thr=30, engine=engine, get_hit_loci=True)
+    assert len(baseline.hits) >= 4
+
+    ckpt = str(tmp_path / "shseg.ckpt")
+    real_segmented = engine._segmented_sharded_bitmaps
+
+    def killer(codes, nw, thr_int, tracker):
+        orig_done = tracker.done_segment
+
+        def dying_done(si, words, fp):
+            orig_done(si, words, fp)
+            if si + 1 >= 2:
+                raise KeyboardInterrupt("killed mid-record")
+
+        tracker.done_segment = dying_done
+        return real_segmented(codes, nw, thr_int, tracker)
+
+    engine._segmented_sharded_bitmaps = killer
+    with pytest.raises(KeyboardInterrupt):
+        mine_genome([record], profile, thr=30, engine=engine,
+                    get_hit_loci=True, checkpoint_path=ckpt)
+    data = json.load(open(ckpt))
+    assert data["seg_record"] == 0 and data["seg_next"] == 2
+
+    # resume: ONLY the 2 remaining batches rerun through the SPMD pass
+    engine._segmented_sharded_bitmaps = real_segmented
+    real_pass = engine._sharded_pass
+    calls = {"n": 0}
+
+    def counting_pass(codes, nv, spd):
+        calls["n"] += 1
+        return real_pass(codes, nv, spd)
+
+    engine._sharded_pass = counting_pass
+    res = mine_genome([record], profile, thr=30, engine=engine,
+                      get_hit_loci=True, checkpoint_path=ckpt)
+    assert calls["n"] == 2
+    assert [h.description for h in res.hits] == [h.description for h in baseline.hits]
+    assert res.hit_loci == baseline.hit_loci
+    assert not os.path.exists(ckpt)  # completed -> checkpoint removed
+
+
+def test_sharded_segmented_stream_equals_unsegmented(tmp_path, ref_fasta, mini_genome):
+    """The segmented (checkpointed) sharded pass must produce the same
+    stream as the one-dispatch pass, for both the split and the FUSED
+    per-shard kernels (interpret mode on the 8-device CPU mesh)."""
+    from kmergma_tpu.parallel.mesh import make_mesh
+    from kmergma_tpu.parallel.sharded_scan import ShardedScanEngine
+    from kmergma_tpu.utils.checkpoint import ScanCheckpoint
+    from kmergma_tpu.utils.fasta import as_records
+
+    profile = gen_ref_ws_cons(ref_fasta, 6)
+    record = as_records(mini_genome)[0]
+    thr = 30.0
+    for fused in (False, True):
+        engine = ShardedScanEngine(
+            profile.sum_kfv, k=6, ws=profile.windowsize, r=profile.n_records,
+            mesh=make_mesh(8), chunk_windows=1024, use_fused=fused,
+        )
+        if fused:
+            engine.fused_t = 1024  # interpret-mode-sized tiles
+        d0_a, stream_a, _ = engine.record_stream(record.codes, thr)
+        ckpt = ScanCheckpoint.load_or_create(str(tmp_path / f"s{fused}.ckpt"), "g")
+        d0_b, stream_b, _ = engine.record_stream(
+            record.codes, thr, seg_tracker=ckpt.segment_tracker(0)
+        )
+        assert ckpt.seg_next >= 2  # the segmented path actually ran
+        assert (d0_b, stream_b) == (d0_a, stream_a)
+        assert len(stream_a) > 0
