@@ -502,7 +502,7 @@ def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_
     return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
-def _below_words_and_count(d, starts, meta):
+def _below_words_and_count(d, starts, meta, n_valid_rows=None):
     """Shared tail of the summarized region passes: packed conservative
     below bits + the borderline count + the record's first-window distance
     (see _scan_regions_summarized).
@@ -512,10 +512,18 @@ def _below_words_and_count(d, starts, meta):
     with [borderline count, D[window 0]] appended - carrying dist0 in the
     words fetch lets a candidate-free record (the common sparse case) skip
     the run-reduce round trip entirely.
+
+    ``n_valid_rows`` (traced scalar, optional) masks region slots >= it:
+    the device-planned path (scan_cluster._fused_cluster_planned) pads
+    unused slots with start 0, whose recomputed windows must not leak
+    below/borderline bits.
     """
     rspan = d.shape[1]
     cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
     valid = (starts[:, None] + cols) < meta[2]
+    if n_valid_rows is not None:
+        rows = jnp.arange(d.shape[0], dtype=jnp.int32)[:, None]
+        valid = valid & (rows < n_valid_rows)
     below = (d < meta[0]) & valid
     border = (d >= meta[1]) & below
     words = _pack_bitmap_words(below.astype(jnp.int32).reshape(-1))
@@ -555,18 +563,13 @@ def _scan_region_rows_summarized(rows, starts, s_profile, meta, *, k, ws, r, rsp
     return d, _below_words_and_count(d, starts, meta)
 
 
-@partial(jax.jit, static_argnames=("k", "rspan", "n_regions", "specs", "use_pallas"))
-def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas):
-    """Summarized region pass for ALL m clusters in one dispatch.
+def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None):
+    """Body of the summarized multi-cluster region pass (shared between the
+    standalone jit below and the fused planned dispatch in scan_cluster).
 
-    specs: static ((ws, r), ...) per cluster; every cluster shares ONE
-    ``n_regions`` bucket (the max over clusters) so the jit key is a single
-    bucket value instead of the per-cluster product (ADVICE r3 #4).
-    ``meta`` is int32[3m] = [thr_int_c...] + [thr_lo_c...] + [nw_c...].
-    Returns (d_flat, words): d_flat is int32[m * n_regions * rspan]
-    (cluster-major, row-major) kept on device; words packs each cluster's
-    below bits back to back, then m borderline-count words, then m
-    first-window distances.
+    ``region_valid`` (optional int32[m]) gives each cluster's count of
+    device-planned region slots; padded slots are masked out of the below
+    bits and borderline counts.
     """
     m = len(specs)
     d_parts = []
@@ -580,12 +583,34 @@ def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, 
         )(starts)
         d = _scan_rows_d(rows, s_stack[ci], k, ws, r, use_pallas)
         cmeta = jnp.stack([meta[ci], meta[m + ci], meta[2 * m + ci]])
-        wc = _below_words_and_count(d, starts, cmeta)
+        wc = _below_words_and_count(
+            d, starts, cmeta,
+            n_valid_rows=None if region_valid is None else region_valid[ci],
+        )
         d_parts.append(d.reshape(-1))
         word_parts.append(wc[:-2])
         count_parts.append(wc[-2:-1])
         d0_parts.append(wc[-1:])
     return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts + d0_parts)
+
+
+@partial(jax.jit, static_argnames=("k", "rspan", "n_regions", "specs", "use_pallas"))
+def _scan_regions_summarized_multi(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas):
+    """Summarized region pass for ALL m clusters in one dispatch.
+
+    specs: static ((ws, r), ...) per cluster; every cluster shares ONE
+    ``n_regions`` bucket (the max over clusters) so the jit key is a single
+    bucket value instead of the per-cluster product (ADVICE r3 #4).
+    ``meta`` is int32[3m] = [thr_int_c...] + [thr_lo_c...] + [nw_c...].
+    Returns (d_flat, words): d_flat is int32[m * n_regions * rspan]
+    (cluster-major, row-major) kept on device; words packs each cluster's
+    below bits back to back, then m borderline-count words, then m
+    first-window distances.
+    """
+    return _regions_summarized_multi_body(
+        codes_dev, starts_flat, s_stack, meta,
+        k=k, rspan=rspan, n_regions=n_regions, specs=specs, use_pallas=use_pallas,
+    )
 
 
 @partial(jax.jit, static_argnames=("n_pieces", "bucket"))

@@ -66,6 +66,90 @@ def _fused_cluster_all(codes_dev, s_stack, small, *, k, specs, depth, t, block, 
     return _pack_bitmap_words(handle.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "lookup_dtype", "chunk", "rspan", "n_regions", "use_pallas"))
+def _fused_cluster_planned(codes_dev, s_stack, small, meta, *, k, specs, depth, t, block, n_tiles, lookup_dtype, chunk, rspan, n_regions, use_pallas):
+    """Fused bitmap pass + DEVICE-SIDE region planning + summarized region
+    recompute, all in ONE dispatch (VERDICT r4 next-round #1).
+
+    The r4 cluster path paid THREE serial host round trips per record:
+    bitmap fetch -> host region planning -> summarized dispatch + words
+    fetch -> run-reduce fetch.  The regions are derivable on device from
+    the bitmap the kernel just produced, so this jit chains the fused
+    multi-cluster kernel, the plan (mirroring ScanEngine._plan_starts:
+    expand active blocks one right, force block 0, coarsen to the rspan
+    grid, compact via cumsum + searchsorted - no scatter, relay-friendly)
+    and the exact summarized recompute back to back - the bitmap fetch and
+    the host planning gap disappear from the record's critical path.
+
+    Region slots are a STATIC ``n_regions`` bucket; per-cluster valid
+    counts (and an overflow flag for records denser than the bucket) ride
+    the single fetch.  Padded slots recompute region 0 with their below
+    bits masked (scan._below_words_and_count n_valid_rows).
+
+    Returns (d_flat, blob, packed_bitmap):
+      d_flat int32[m*n_regions*rspan] - stays on device for the reduce;
+      blob   uint32[m*n_regions*rspan/32 + 2m + m*n_regions + 2m] =
+             [below words | borderline counts | dist0s | starts | valid
+             counts | overflow flags] - the ONE per-record fetch;
+      packed_bitmap - the packed block bitmap, fetched ONLY on overflow
+             (host falls back to the r4 path).
+    """
+    from .scan import (
+        _lower_bound_base,
+        _pack_bitmap_words,
+        _regions_summarized_multi_body,
+        profile_lookup,
+    )
+    from .scan_cluster_fused import fused_cluster_record_bitmaps
+
+    m = len(specs)
+    l0s = []
+    for ci, (ws, r) in enumerate(specs):
+        head = jax.lax.slice(codes_dev, (0,), (ws,))
+        kc = rolling_kmer_codes_jnp(head, k)
+        g = profile_lookup(kc, s_stack[ci])
+        l0s.append(_lower_bound_base(kc, g, s_stack[ci], ws - k + 1, r, depth))
+    kmeta = jnp.concatenate([small, jnp.stack(l0s).astype(jnp.int32)])
+    handle = fused_cluster_record_bitmaps(
+        codes_dev, s_stack, kmeta,
+        k=k, specs=tuple((ws - k + 1, r) for ws, r in specs), depth=depth,
+        t=t, block=block, n_tiles=n_tiles, lookup_dtype=lookup_dtype,
+        chunk=chunk,
+    )  # (n_tiles, m * (t // block))
+    tb = t // block
+    n_blocks = n_tiles * tb
+    bm = handle.reshape(n_tiles, m, tb).transpose(1, 0, 2).reshape(m, n_blocks).astype(bool)
+
+    # device region planning (bit-compatible with ScanEngine._plan_starts
+    # coverage: every active block and its right neighbour is covered)
+    sb = rspan // block
+    assert sb * block == rspan and n_blocks % sb == 0, (rspan, block, n_blocks)
+    shifted = jnp.pad(bm[:, :-1], ((0, 0), (1, 0)))
+    active = bm | shifted
+    active = active.at[:, 0].set(True)  # window 0 (dist0)
+    asb = active.reshape(m, n_blocks // sb, sb).any(axis=2)
+    counts = jnp.cumsum(asb.astype(jnp.int32), axis=1)
+    n_valid_regions = counts[:, -1]
+    overflow = (n_valid_regions > n_regions).astype(jnp.uint32)
+    targets = jnp.arange(1, n_regions + 1, dtype=jnp.int32)
+    sb_idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(counts)
+    starts = jnp.where(sb_idx >= asb.shape[1], 0, sb_idx).astype(jnp.int32) * rspan
+    starts_flat = starts.reshape(-1)
+
+    d_flat, words = _regions_summarized_multi_body(
+        codes_dev, starts_flat, s_stack, meta,
+        k=k, rspan=rspan, n_regions=n_regions, specs=specs,
+        use_pallas=use_pallas, region_valid=n_valid_regions,
+    )
+    blob = jnp.concatenate([
+        words,
+        starts_flat.astype(jnp.uint32),
+        n_valid_regions.astype(jnp.uint32),
+        overflow,
+    ])
+    return d_flat, blob, _pack_bitmap_words(handle.reshape(-1))
+
+
 def _shared_p0(kcodes: jnp.ndarray, w: int, depth: int) -> jnp.ndarray:
     """First-window equal-k-mer pair count at partner distance <= depth -
     the profile-independent part of ops.scan._lower_bound_base."""
@@ -289,6 +373,16 @@ class ClusterScanEngine:
         self._auto_resolved: str | None = None
         #: lane-chunk width of the in-kernel multi-table lookup (ablatable)
         self.lookup_chunk = 2048
+        #: device-side region planning: the fused kernel, the region plan
+        #: and the summarized recompute run as ONE dispatch (2 host round
+        #: trips per record instead of 3 - VERDICT r4 #1).  KMERGMA_DEVPLAN=0
+        #: opts out; a record denser than the region bucket falls back to
+        #: the host-planned path automatically (and grows the bucket)
+        import os as _os
+
+        self.device_plan = _os.environ.get("KMERGMA_DEVPLAN", "") != "0"
+        self.plan_regions = 256
+        self.plan_regions_max = 1024
 
     def prepare_codes(self, codes: np.ndarray):
         return self.engines[0].prepare_codes(
@@ -296,31 +390,8 @@ class ClusterScanEngine:
             fused_ws=self.max_ws if self.use_fused else None,
         )
 
-    def _fused_cluster_bitmaps(self, prep, n_valids, thr_ints) -> np.ndarray:
-        """Whole-record fused pass: returns bool[m, n_blocks] bitmaps."""
-        from .scan_fused import ROWS as FROWS
-
-        t = self.engines[0].fused_t
-        depth = self.groups[0][1]
-        nw_max = int(n_valids.max())
-        n_tiles = -(-(-(-nw_max // t)) // FROWS) * FROWS
-        max_w = self.max_ws - self.k + 1
-        hw = -(-(max_w + 1) // 128) * 128 + 128
-        if prep.dev.shape[0] < n_tiles * t + t + hw:
-            # mirror scan._fused_words: an undersized codes_dev
-            # (e.g. a manually-built PreparedCodes) would make the halo
-            # dynamic_slice clamp and yield silently wrong bitmaps near the
-            # record end
-            raise AssertionError("prepared record too small for the fused tiling")
-        key = ("meta", tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
-        small = self._small_cache.get(key)
-        if small is None:
-            if len(self._small_cache) > 64:
-                self._small_cache.clear()
-            small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
-            self._small_cache[key] = small
-        from .scan import _unpack_bitmap_words
-
+    def _resolve_lookup_dtype(self) -> str:
+        """The in-kernel lookup precision actually used by the fused passes."""
         ld = self.lookup_dtype
         if ld == "f32pack" and self._s_max >= 256:
             ld = "f32"  # pair packing needs 8-bit table entries
@@ -349,6 +420,34 @@ class ClusterScanEngine:
                 want = np.asarray(self.s_stack).reshape(m, _R, nbins // _R)
                 ok = np.array_equal(got.reshape(m, _R, nbins // _R), want)
                 ld = self._auto_resolved = "f32pack" if ok else "f32"
+        return ld
+
+    def _fused_cluster_bitmaps(self, prep, n_valids, thr_ints) -> np.ndarray:
+        """Whole-record fused pass: returns bool[m, n_blocks] bitmaps."""
+        from .scan_fused import ROWS as FROWS
+
+        t = self.engines[0].fused_t
+        depth = self.groups[0][1]
+        nw_max = int(n_valids.max())
+        n_tiles = -(-(-(-nw_max // t)) // FROWS) * FROWS
+        max_w = self.max_ws - self.k + 1
+        hw = -(-(max_w + 1) // 128) * 128 + 128
+        if prep.dev.shape[0] < n_tiles * t + t + hw:
+            # mirror scan._fused_words: an undersized codes_dev
+            # (e.g. a manually-built PreparedCodes) would make the halo
+            # dynamic_slice clamp and yield silently wrong bitmaps near the
+            # record end
+            raise AssertionError("prepared record too small for the fused tiling")
+        key = ("meta", tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
+        small = self._small_cache.get(key)
+        if small is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
+            self._small_cache[key] = small
+        from .scan import _unpack_bitmap_words
+
+        ld = self._resolve_lookup_dtype()
         words = _fused_cluster_all(
             prep.dev, self.s_stack, small,
             k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
@@ -379,6 +478,8 @@ class ClusterScanEngine:
             [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
         )
         if self.use_fused and int(n_valids.max()) >= self.fused_min_windows:
+            if self.device_plan and self.engines[0].assemble_mode == "reduced":
+                return self._streams_planned(prep, n_valids, thr_ints, thrs, seq_len=n)
             by_cluster = _with_retry(
                 lambda: self._fused_cluster_bitmaps(prep, n_valids, thr_ints)
             )
@@ -411,6 +512,110 @@ class ClusterScanEngine:
             )  # (n_spans, m, blocks)
             by_cluster = [bitmaps[:, ci, :].reshape(-1) for ci in range(len(self.engines))]
         return self._streams_from_bitmaps(prep, by_cluster, n_valids, thr_ints, thrs, seq_len=n)
+
+    def _streams_planned(self, prep, n_valids, thr_ints, thrs, seq_len):
+        """One-dispatch planned cluster record (VERDICT r4 next-round #1).
+
+        The fused kernel, the device region plan and the summarized exact
+        recompute run back to back in ONE jit; the host fetches ONE blob
+        (below words + borderline counts + dist0s + planned starts +
+        valid counts + overflow) and goes straight to run extraction -
+        TWO host round trips per record (blob + run-reduce) instead of
+        the r4 path's three (bitmap + words + reduce).  Records whose
+        active regions overflow the static bucket fall back to the
+        host-planned path (the packed bitmap rides the same dispatch and
+        is fetched only then), and the bucket doubles for later records.
+        """
+        from .scan import _unpack_bitmap_words
+        from .scan_fused import ROWS as FROWS
+
+        e0 = self.engines[0]
+        m = len(self.engines)
+        t = e0.fused_t
+        depth = self.groups[0][1]
+        nw_max = int(n_valids.max())
+        n_tiles = -(-(-(-nw_max // t)) // FROWS) * FROWS
+        max_w = self.max_ws - self.k + 1
+        hw = -(-(max_w + 1) // 128) * 128 + 128
+        if prep.dev.shape[0] < n_tiles * t + t + hw:
+            raise AssertionError("prepared record too small for the fused tiling")
+        rspan = min(e0.chunk, e0.rspan)
+        n_regions = self.plan_regions
+        thrs_l = list(thrs)
+
+        key = ("meta", tuple(n_valids.tolist()), tuple(thr_ints.tolist()))
+        small = self._small_cache.get(key)
+        if small is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            small = jnp.asarray(np.concatenate([n_valids, thr_ints]).astype(np.int32))
+            self._small_cache[key] = small
+        t_exact = np.asarray(
+            [eng._thr_exact(thr) for eng, thr in zip(self.engines, thrs_l)], dtype=np.int32
+        )
+        rkey = ("rmeta", tuple(t_exact.tolist()), tuple(n_valids.tolist()))
+        meta = self._small_cache.get(rkey)
+        if meta is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            meta = jnp.asarray(np.concatenate([t_exact, t_exact, n_valids]).astype(np.int32))
+            self._small_cache[rkey] = meta
+
+        ld = self._resolve_lookup_dtype()
+        d_flat_h, blob_h, packed_h = _with_retry(
+            lambda: _fused_cluster_planned(
+                prep.dev, self.s_stack, small, meta,
+                k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
+                depth=depth, t=t, block=self.block, n_tiles=n_tiles,
+                lookup_dtype=ld, chunk=self.lookup_chunk, rspan=rspan,
+                n_regions=n_regions, use_pallas=self.use_pallas,
+            )
+        )
+        blob = _with_retry(lambda: np.asarray(blob_h))
+        W = m * n_regions * rspan // 32
+        words = blob[: W + 2 * m]
+        off = W + 2 * m
+        starts_all = blob[off : off + m * n_regions].astype(np.int64).reshape(m, n_regions)
+        off += m * n_regions
+        nvr = blob[off : off + m].astype(np.int64)
+        overflow = blob[off + m : off + 2 * m]
+        if int(overflow.sum()) > 0:
+            # denser than the bucket: host-planned fallback from the packed
+            # bitmap already computed on device; grow the bucket (or stop
+            # planning on device once maxed) for subsequent records
+            if self.plan_regions < self.plan_regions_max:
+                self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
+            else:
+                self.device_plan = False
+            tb = t // self.block
+            flat = _unpack_bitmap_words(
+                _with_retry(lambda: np.asarray(packed_h)), n_tiles * m * tb
+            )
+            bc = flat.reshape(n_tiles, m, tb).transpose(1, 0, 2).reshape(m, -1)
+            return self._streams_from_bitmaps(
+                prep, [bc[ci] for ci in range(m)], n_valids, thr_ints, thrs_l,
+                seq_len=seq_len,
+            )
+        if int(nvr.max()) > (3 * n_regions) // 4 and self.plan_regions < self.plan_regions_max:
+            # grow BEFORE the next record crowds the bucket (hysteresis)
+            self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
+        all_starts = [starts_all[ci, : int(nvr[ci])].tolist() for ci in range(m)]
+        # same adaptive cutover as the host-planned path: few active
+        # regions -> one raw distance fetch beats the run-reduce round
+        # trip, and the resulting streams are bit-identical to the host
+        # path's (keyed on the host path's equivalent bucket so the two
+        # paths cut over together)
+        from .scan import _span_bucket
+
+        flat_eq = m * _span_bucket(int(nvr.max())) * rspan
+        if flat_eq <= e0.full_fetch_windows:
+            d_flat = _with_retry(lambda: np.asarray(d_flat_h))
+            return self._streams_full_fetch(
+                d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
+            )
+        return self._streams_from_summary(
+            d_flat_h, words, all_starts, rspan, n_regions, n_valids, thr_ints, seq_len
+        )
 
     def _streams_from_bitmaps(self, prep, by_cluster, n_valids, thr_ints, thrs, seq_len=None):
         """COMBINED region recompute for all m clusters: one device call and
@@ -496,6 +701,24 @@ class ClusterScanEngine:
                 d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
             )
         words = _with_retry(lambda: np.asarray(words_h))
+        return self._streams_from_summary(
+            d_flat_h, words, all_starts, rspan, n_regions, n_valids, thr_ints, seq_len
+        )
+
+    def _streams_from_summary(self, d_flat_h, words, all_starts, rspan, n_regions, n_valids, thr_ints, seq_len):
+        """Assemble all m streams from a FETCHED summary (below words +
+        borderline counts + dist0s) and the device-resident distance rows.
+        Shared by the host-planned reduced path and the device-planned
+        fused path (_streams_planned)."""
+        from .scan import (
+            _RUN_BUCKET,
+            _extract_runs,
+            _run_pieces,
+            _unpack_bitmap_words,
+        )
+
+        e0 = self.engines[0]
+        m = len(self.engines)
         if int(words[-2 * m : -m].sum()) > 0:
             # borderline integer distances somewhere: exact full fetch
             d_flat = _with_retry(lambda: np.asarray(d_flat_h))

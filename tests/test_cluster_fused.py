@@ -103,3 +103,132 @@ def test_cluster_engine_fused_stream_equality(clusters):
     sa = base.record_streams(codes, thrs)
     sb = fused.record_streams(codes, thrs)
     assert sa == sb
+
+
+def _planted_codes(seed, n, plant_at):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    from kmergma_tpu.utils.fasta import as_records
+
+    recs = as_records(REF)
+    for i, pos in enumerate(plant_at):
+        g = recs[i % len(recs)].codes
+        codes[pos : pos + len(g)] = g
+    return codes
+
+
+def test_cluster_engine_planned_matches_host_planned(clusters):
+    """The one-dispatch device-planned path (fused kernel + on-device
+    region plan + summarized recompute) must produce streams bit-identical
+    to the host-planned fused path and the split base path."""
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    codes = _planted_codes(21, 12_000, (2_000, 6_500, 9_000))
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(clusters.profiles)]
+
+    base = ClusterScanEngine(clusters.profiles, k=6, use_pallas=True, chunk_windows=2048)
+    hostp = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    hostp.fused_min_windows = 1
+    hostp.device_plan = False
+    planned = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    planned.fused_min_windows = 1
+    assert planned.device_plan  # default on
+
+    sa = base.record_streams(codes, thrs)
+    sb = hostp.record_streams(codes, thrs)
+    sc = planned.record_streams(codes, thrs)
+    assert sb == sa
+    assert sc == sa
+    assert any(len(s) > 0 for _, s in sa)  # fixture produces candidates
+
+
+def test_cluster_planned_overflow_falls_back_and_grows(clusters):
+    """A record denser than the region bucket must fall back to the
+    host-planned path (identical streams) and double the bucket."""
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    codes = _planted_codes(22, 12_000, (1_500, 4_000, 6_500, 9_000))
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(clusters.profiles)]
+
+    base = ClusterScanEngine(clusters.profiles, k=6, use_pallas=True, chunk_windows=2048)
+    planned = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    planned.fused_min_windows = 1
+    planned.plan_regions = 2  # force overflow
+    planned.plan_regions_max = 8
+    sa = base.record_streams(codes, thrs)
+    sc = planned.record_streams(codes, thrs)
+    assert sc == sa
+    assert planned.plan_regions == 4  # grew for the next record
+
+
+def test_cluster_planned_reduced_matches_host_reduced(clusters):
+    """With the full-fetch cutover disabled, the device-planned REDUCED
+    path (run reductions over grid-aligned regions) must produce the same
+    minimal streams as the host-planned reduced path (run-aligned
+    regions): runs are a property of the below set, not of the region
+    geometry."""
+    from kmergma_tpu.models.state_machine import replay_omn
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    codes = _planted_codes(23, 11_000, (3_000, 7_500))
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(clusters.profiles)]
+
+    base = ClusterScanEngine(clusters.profiles, k=6, use_pallas=True, chunk_windows=2048)
+    hostp = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    hostp.fused_min_windows = 1
+    hostp.device_plan = False
+    planned = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    planned.fused_min_windows = 1
+    for e in (hostp, planned):
+        e.engines[0].full_fetch_windows = 0  # force the reduced machinery
+    sb = hostp.record_streams(codes, thrs)
+    sc = planned.record_streams(codes, thrs)
+    assert sc == sb
+    assert any(len(s) > 0 for _, s in sc)
+
+    # and the minimal streams replay to the same hit events as the full
+    # streams of the split base engine
+    sa = base.record_streams(codes, thrs)
+    n = codes.shape[0]
+    wss = [e.ws for e in base.engines]
+
+    def events(pairs):
+        got = []
+        replay_omn(
+            [p[1] for p in pairs], [p[0] for p in pairs], thrs, 6, wss, n,
+            lambda ev: got.append((ev.cluster, ev.cmi, ev.dist, ev.edge_dist)) or True,
+        )
+        return got
+
+    assert events(sc) == events(sa)
+    assert len(events(sa)) > 0
+
+
+def test_cluster_planned_candidate_free_record(clusters):
+    """A candidate-free record through the planned path: dist0s ride the
+    blob, no run-reduce round trip, empty streams."""
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    rng = np.random.default_rng(24)
+    codes = rng.integers(0, 4, 10_000, dtype=np.int8)
+    thrs = [1.0] * len(clusters.profiles)  # nothing scores below this
+
+    base = ClusterScanEngine(clusters.profiles, k=6, use_pallas=True, chunk_windows=2048)
+    planned = ClusterScanEngine(
+        clusters.profiles, k=6, use_pallas=True, chunk_windows=2048, use_fused=True
+    )
+    planned.fused_min_windows = 1
+    sa = base.record_streams(codes, thrs)
+    sc = planned.record_streams(codes, thrs)
+    assert sc == sa
+    assert all(s == [] for _, s in sc)
