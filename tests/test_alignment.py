@@ -99,3 +99,52 @@ def test_device_align_matches_host_fuzz():
             single = semiglobal_align(query, s, go, ge)
             assert r.score == single.score
             assert r.cigar == single.cigar
+
+
+def test_device_align_indel_mutants_fuzz():
+    """Realistic hit shapes: near-identical subjects with substitutions AND
+    indels (multi-run CIGARs exercising every RLE branch: diagonal chains,
+    E and F gap runs, leading/trailing free gaps) - device == host."""
+    import numpy as np
+
+    from kmergma_tpu.ops.align_device import semiglobal_align_device
+
+    rng = np.random.default_rng(12)
+    query = "".join("ATGC"[i] for i in rng.integers(0, 4, 120))
+    subjects = []
+    for _ in range(16):
+        s = list(query)
+        for _ in range(int(rng.integers(0, 12))):  # substitutions
+            s[int(rng.integers(0, len(s)))] = "ATGC"[int(rng.integers(0, 4))]
+        for _ in range(int(rng.integers(0, 3))):  # deletions from subject
+            p = int(rng.integers(0, len(s) - 5))
+            del s[p : p + int(rng.integers(1, 5))]
+        for _ in range(int(rng.integers(0, 3))):  # insertions into subject
+            p = int(rng.integers(0, len(s)))
+            s[p:p] = ["ATGC"[int(rng.integers(0, 4))] for _ in range(int(rng.integers(1, 5)))]
+        pad_l = "".join("ATGC"[i] for i in rng.integers(0, 4, int(rng.integers(0, 30))))
+        pad_r = "".join("ATGC"[i] for i in rng.integers(0, 4, int(rng.integers(0, 30))))
+        subjects.append(pad_l + "".join(s) + pad_r)
+    dev = semiglobal_align_device(query, subjects, -69, -1)
+    for s, r in zip(subjects, dev):
+        single = semiglobal_align(query, s, -69, -1)
+        assert r.score == single.score
+        assert r.cigar == single.cigar
+
+
+def test_device_align_run_overflow_falls_back(monkeypatch):
+    """Hits whose CIGAR run count exceeds the device RLE buffer must fall
+    back to the exact host oracle (forced here by shrinking the cap)."""
+    import numpy as np
+
+    import kmergma_tpu.ops.align_device as ad
+
+    monkeypatch.setattr(ad, "RLE_CAP", 2)
+    rng = np.random.default_rng(13)
+    query = "".join("ATGC"[i] for i in rng.integers(0, 4, 60))
+    subjects = ["".join("ATGCN"[i] for i in rng.integers(0, 5, 90)) for _ in range(5)]
+    dev = ad.semiglobal_align_device(query, subjects, -69, -1)
+    for s, r in zip(subjects, dev):
+        single = semiglobal_align(query, s, -69, -1)
+        assert r.score == single.score
+        assert r.cigar == single.cigar
