@@ -337,12 +337,31 @@ def main() -> None:
         assert [a.cigar for a in prod_aln] == [a.cigar for a in host_aln]
         result["align_s"] = round(abest, 3)
         result["align_host_s"] = round(ahost, 3)
-        result["hit_dense_aligned_mbps"] = round(dense_bp / (dbest + abest) / 1e6, 2)
+
+        # the headline aligned row: ONE timed production run (VERDICT r4
+        # item 2 - not a scan+align arithmetic sum).  mine_genome streams
+        # the record from host bytes (pipelined H2D), scans, replays,
+        # decodes hit windows and aligns them through the production
+        # router - everything a user's find_genes(do_align=True) pays.
+        from kmergma_tpu.models.miner import mine_genome
+        from kmergma_tpu.utils.fasta import FastaRecord
+
+        drecord = FastaRecord("bench_dense", gseq, _codes=gcodes_d.astype(np.int8))
+        mres = mine_genome([drecord], profile, thr=thr, do_align=True, engine=engine)
+        assert len(mres.hits) == len(dhits)
+
+        def run_aligned_e2e():
+            nonlocal mres
+            mres = mine_genome([drecord], profile, thr=thr, do_align=True, engine=engine)
+
+        aebest = _time_best(run_aligned_e2e, repeats=3)
+        result["hit_dense_aligned_mbps"] = round(dense_bp / aebest / 1e6, 2)
         note(
             f"# align: {len(dhits)} hits in {abest*1e3:.0f} ms (production router; "
             f"host batch {ahost*1e3:.0f} ms; cigars identical; genome fetch for "
-            f"sequence bytes {gfetch_s:.1f}s, one-time) -> "
-            f"{result['hit_dense_aligned_mbps']:.0f} Mbp/s end-to-end with alignment"
+            f"sequence bytes {gfetch_s:.1f}s, one-time); ONE end-to-end "
+            f"mine_genome(do_align=True) run {aebest:.2f}s -> "
+            f"{result['hit_dense_aligned_mbps']:.0f} Mbp/s with alignment"
         )
 
         # ---- cluster mode: m profiles, one fused pass ----
