@@ -374,7 +374,14 @@ def main() -> None:
         # the dense device genome is padded for max_ws+1, so the cluster
         # engines (max ws 290) can share it without a second transfer
         cprep = dprep
-        ceng.record_streams(dcodes_shape, thrs, codes_dev=cprep)  # warmup
+        # warm compiles AND the adaptive planned-region bucket: a first
+        # record can overflow/grow the bucket, which would put a fresh
+        # compile inside the timed loop otherwise
+        for _ in range(3):
+            before = getattr(ceng, "plan_regions", None)
+            ceng.record_streams(dcodes_shape, thrs, codes_dev=cprep)  # warmup
+            if getattr(ceng, "plan_regions", None) == before:
+                break
 
         windowsizes = [p.windowsize for p in clusters.profiles]
         n_events = 0

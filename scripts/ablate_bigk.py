@@ -70,12 +70,41 @@ def kcodes_only(codes):
     return rolling_kmer_codes_jnp(codes, k)
 
 
+@partial(jax.jit, static_argnames=("dt",))
+def gather_dtype(codes, s, dt):
+    """Gather from a narrowed table (r5: is the 1M-bin gather byte-bound
+    or descriptor-bound?  int16/uint8 tables quarter/halve the bytes per
+    random access; exact whenever S fits the dtype)."""
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    return jnp.take(s.astype(dt), kcodes).astype(jnp.int32)
+
+
+@jax.jit
+def gather_2level(codes, s):
+    """Two-level (1024, 1024) layout: gather whole 1024-entry rows by the
+    high digit, then one-hot column select - prices the row-gather idea."""
+    kcodes = rolling_kmer_codes_jnp(codes, k)
+    hi = kcodes >> 10
+    lo = kcodes & 1023
+    rows = jnp.take(s.reshape(1024, 1024), hi, axis=0)  # (n, 1024)
+    return jnp.take_along_axis(rows, lo[:, None], axis=1)[:, 0]
+
+
 t_full = timeit("k=10 span bounds (take lookup)", lambda: bounds(codes, s))
 t_zero = timeit("k=10 span bounds (lookup zeroed)", lambda: bounds(codes, s, zero_lookup=True))
 t_g = timeit("gather alone (kcodes + take)", lambda: gather_only(codes, s))
 t_kc = timeit("kcodes alone", lambda: kcodes_only(codes))
+t_i16 = timeit("gather alone (int16 table)", lambda: gather_dtype(codes, s, jnp.int16))
+t_u8 = timeit("gather alone (uint8 table)", lambda: gather_dtype(codes, s, jnp.uint8))
+try:
+    t_2l = timeit("gather 2-level (row take + col)", lambda: gather_2level(codes, s))
+except Exception as e:  # pricing exercise only - never block the ablation
+    print(f"2-level gather failed: {e}", flush=True)
+    t_2l = float("inf")
 print(
     f"lookup share ~= {(t_full - t_zero)*1e3:.0f} ms of {t_full*1e3:.0f} ms; "
-    f"raw gather {(t_g - t_kc)*1e3:.0f} ms for {span/1e6:.0f}M lookups",
+    f"raw gather {(t_g - t_kc)*1e3:.0f} ms for {span/1e6:.0f}M lookups; "
+    f"i16 {(t_i16 - t_kc)*1e3:.0f} ms; u8 {(t_u8 - t_kc)*1e3:.0f} ms; "
+    f"2-level {(t_2l - t_kc)*1e3:.0f} ms",
     flush=True,
 )
