@@ -300,6 +300,92 @@ def _fused_all(codes_dev, s_profile, thr_nw, *, k, ws, r, depth, t, block, n_til
     return _pack_bitmap_words(bm.reshape(-1))
 
 
+def _plan_and_summarize(codes_dev, flat, rmeta, s_profile, *, k, ws, r, rspan, n_regions, use_pallas, block):
+    """Device region planning + summarized recompute from a flat bool
+    block-activity bitmap - the shared tail of the planned single-profile
+    dispatches (VERDICT r4 #1; the multi-cluster version lives in
+    ops/scan_cluster._fused_cluster_planned).
+
+    Mirrors ScanEngine._plan_starts's coverage (active blocks expanded one
+    right, block 0 forced, coarsened to the rspan grid) with a
+    cumsum+searchsorted compaction (no scatter - relay-friendly), then
+    runs _regions_summarized_multi_body over the planned starts.  Returns
+    (d_flat, blob) with blob = [below words | borderline count | dist0 |
+    starts | valid count | overflow] as one uint32 fetch.
+    """
+    sb = rspan // block
+    n_blocks = flat.shape[0]
+    shifted = jnp.pad(flat[:-1], (1, 0))
+    active = (flat | shifted).at[0].set(True)
+    asb = active.reshape(n_blocks // sb, sb).any(axis=1)
+    # clamp to the record: expansion past the last valid window must not
+    # emit a region starting >= nw (host _plan_starts clamps hi to nw)
+    sb_starts = jnp.arange(asb.shape[0], dtype=jnp.int32) * rspan
+    asb = asb & (sb_starts < rmeta[2])
+    counts = jnp.cumsum(asb.astype(jnp.int32))
+    nvr = counts[-1]
+    overflow = (nvr > n_regions).astype(jnp.uint32)
+    targets = jnp.arange(1, n_regions + 1, dtype=jnp.int32)
+    sb_idx = jnp.searchsorted(counts, targets, side="left")
+    starts = jnp.where(sb_idx >= asb.shape[0], 0, sb_idx).astype(jnp.int32) * rspan
+    d_flat, words = _regions_summarized_multi_body(
+        codes_dev, starts, s_profile[None], rmeta,
+        k=k, rspan=rspan, n_regions=n_regions, specs=((ws, r),),
+        use_pallas=use_pallas, region_valid=nvr[None],
+    )
+    blob = jnp.concatenate(
+        [words, starts.astype(jnp.uint32), nvr[None].astype(jnp.uint32), overflow[None]]
+    )
+    return d_flat, blob
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "depth", "t", "block", "n_tiles", "lookup", "rspan", "n_regions", "use_pallas"))
+def _fused_planned(codes_dev, s_profile, thr_nw, rmeta, *, k, ws, r, depth, t, block, n_tiles, lookup, rspan, n_regions, use_pallas):
+    """_fused_all + device region planning + summarized recompute in ONE
+    dispatch: the bitmap fetch and the host planning gap disappear from
+    the record's critical path (two host round trips per record instead
+    of three).  Returns (d_flat, blob, packed_bitmap) - the packed bitmap
+    is fetched only on region-bucket overflow (host-planned fallback)."""
+    from .scan_fused import fused_record_bitmaps
+
+    w = ws - k + 1
+    head = jax.lax.slice(codes_dev, (0,), (ws,))
+    kc = rolling_kmer_codes_jnp(head, k)
+    g = profile_lookup(kc, s_profile)
+    l0 = _lower_bound_base(kc, g, s_profile, w, r, depth)
+    meta = jnp.stack([thr_nw[0], l0.astype(jnp.int32), thr_nw[1]])
+    bm = fused_record_bitmaps(
+        codes_dev, s_profile, meta, k=k, ws=ws, r=r, depth=depth,
+        t=t, block=block, n_tiles=n_tiles, lookup=lookup,
+    )
+    flat = bm.reshape(-1).astype(bool)
+    d_flat, blob = _plan_and_summarize(
+        codes_dev, flat, rmeta, s_profile,
+        k=k, ws=ws, r=r, rspan=rspan, n_regions=n_regions,
+        use_pallas=True, block=block,
+    )
+    return d_flat, blob, _pack_bitmap_words(bm.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("k", "ws", "r", "span", "block", "n_spans", "use_pallas", "depth", "rspan", "n_regions"))
+def _split_planned(codes_dev, nv, s_profile, thr_dev, rmeta, *, k, ws, r, span, block, n_spans, use_pallas, depth, rspan, n_regions):
+    """Split-pass (non-fused) variant of _fused_planned: the span bitmap
+    scan, the device region plan and the summarized recompute in one
+    dispatch.  Serves backends/engines without the fused Mosaic kernel -
+    notably the strobemer span engine (exact mode) and big-k profiles."""
+    bm = _scan_record_bitmaps(
+        codes_dev, nv, s_profile, thr_dev, k=k, ws=ws, r=r, span=span,
+        block=block, n_spans=n_spans, use_pallas=use_pallas, depth=depth,
+    )
+    flat = bm.reshape(-1).astype(bool)
+    d_flat, blob = _plan_and_summarize(
+        codes_dev, flat, rmeta, s_profile,
+        k=k, ws=ws, r=r, rspan=rspan, n_regions=n_regions,
+        use_pallas=use_pallas, block=block,
+    )
+    return d_flat, blob, _pack_bitmap_words(bm.reshape(-1))
+
+
 def check_int32_headroom(s_profile: np.ndarray, ws: int, k: int, r: int) -> None:
     """Guard the exact-integer path against int32 overflow.
 
@@ -878,6 +964,15 @@ class ScanEngine:
         # windows than were active; 2^10 halves the fetch bytes vs 2^11 at
         # unchanged recompute cost - the batched pass makes regions ~free)
         self.rspan = 1 << 10
+        #: device-side region planning (bitmap pass + plan + summarized
+        #: recompute as ONE dispatch - VERDICT r4 #1): default on for the
+        #: reduced assembly mode; KMERGMA_DEVPLAN=0 opts out.  Records
+        #: denser than the region bucket fall back to the host-planned
+        #: path per record (the packed bitmap rides the same dispatch) and
+        #: the bucket grows adaptively.
+        self.device_plan = os.environ.get("KMERGMA_DEVPLAN", "") != "0"
+        self.plan_regions = 256
+        self.plan_regions_max = 1024
         self._thr_cache: tuple[float, object] | None = None
         self._nv_cache: dict[int, object] = {}  # n_valid H2D arrays by value
         self._meta_cache: dict[tuple, object] = {}  # summarized-pass metas
@@ -1124,6 +1219,10 @@ class ScanEngine:
             self._thr_cache = (float(thr_int), jnp.asarray(np.asarray([thr_int], dtype=np.int32)))
         thr_dev = self._thr_cache[1]
 
+        if self.device_plan and self.assemble_mode == "reduced":
+            dist0, stream = self._planned_record(prep, nw, thr, thr_int, thr_dev)
+            return dist0, stream, full_dists
+
         n_blocks = prep.n_spans * (self.chunk // self.block)
         if self.use_fused and nw >= (1 << 16):
             bitmaps = _with_retry(lambda: self._fused_bitmaps(prep, nw, thr_int))
@@ -1178,6 +1277,95 @@ class ScanEngine:
     def _fused_bitmaps(self, prep: PreparedCodes, nw: int, thr_int) -> np.ndarray:
         words, n_blocks = self._fused_words(prep, nw, thr_int)
         return _unpack_bitmap_words(np.asarray(words), n_blocks)
+
+    def _planned_record(self, prep: "PreparedCodes", nw: int, thr: float, thr_int, thr_dev):
+        """One-dispatch planned record (VERDICT r4 #1, single-profile).
+
+        The bitmap pass (fused Mosaic kernel when available, else the
+        split span scan), the device region plan and the exact summarized
+        recompute run as ONE jit; the host fetches one blob and goes
+        straight to run extraction - two round trips per record (blob +
+        run-reduce; ONE when the record is candidate-free or small enough
+        for the raw-distance cutover) instead of three.  Bucket-overflow
+        records fall back to the host-planned path; the bucket doubles
+        for later records.  Returns (dist0, stream).
+        """
+        rspan = min(self.chunk, self.rspan)
+        n_regions = self.plan_regions
+        rmeta = self._meta3(thr, nw)
+        if self.use_fused and nw >= (1 << 16):
+            from .scan_fused import ROWS as FROWS
+
+            t = self.fused_t
+            w = self.ws - self.k + 1
+            hw = -(-(w + 1) // 128) * 128 + 128
+            n_tiles = -(-(-(-nw // t)) // FROWS) * FROWS
+            if prep.dev.shape[0] < n_tiles * t + t + hw:
+                raise AssertionError("prepared record too small for the fused tiling")
+            key = ("tnw", int(thr_int), nw)
+            thr_nw = self._meta_cache.get(key)
+            if thr_nw is None:
+                if len(self._meta_cache) > 64:
+                    self._meta_cache.clear()
+                thr_nw = jnp.asarray(np.asarray([int(thr_int), nw], dtype=np.int32))
+                self._meta_cache[key] = thr_nw
+            n_blocks = n_tiles * (t // self.block)
+            d_h, blob_h, packed_h = _with_retry(
+                lambda: _fused_planned(
+                    prep.dev, self.s_dev, thr_nw, rmeta,
+                    k=self.k, ws=self.ws, r=self.r, depth=self.bound_depth,
+                    t=t, block=self.block, n_tiles=n_tiles,
+                    lookup="mxu" if self._s_max < 256 else "mxu_limbs",
+                    rspan=rspan, n_regions=n_regions, use_pallas=True,
+                )
+            )
+        else:
+            n_blocks = prep.n_spans * (self.chunk // self.block)
+            d_h, blob_h, packed_h = _with_retry(
+                lambda: _split_planned(
+                    prep.dev, self._nv(nw), self.s_dev, thr_dev, rmeta,
+                    k=self.k, ws=self.ws, r=self.r, span=self.chunk,
+                    block=self.block, n_spans=prep.n_spans,
+                    use_pallas=self.use_pallas, depth=self.bound_depth,
+                    rspan=rspan, n_regions=n_regions,
+                )
+            )
+        blob = _with_retry(lambda: np.asarray(blob_h))
+        W = n_regions * rspan // 32
+        words = blob[: W + 2]
+        starts_arr = blob[W + 2 : W + 2 + n_regions].astype(np.int64)
+        nvr = int(blob[W + 2 + n_regions])
+        overflow = int(blob[-1])
+        if overflow:
+            if self.plan_regions < self.plan_regions_max:
+                self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
+            else:
+                self.device_plan = False
+            flat = _unpack_bitmap_words(
+                _with_retry(lambda: np.asarray(packed_h)), n_blocks
+            )
+            return self._assemble_stream(prep, nw, thr, flat)
+        if nvr > (3 * n_regions) // 4 and self.plan_regions < self.plan_regions_max:
+            self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
+        starts = starts_arr[:nvr].tolist()
+        # same raw-distance cutover as the host-planned path, keyed on the
+        # host path's equivalent bucket so the two cut over together and
+        # streams stay bit-identical everywhere
+        if _span_bucket(max(1, nvr)) * rspan <= self.full_fetch_windows:
+            d_all = _with_retry(lambda: np.asarray(d_h)).reshape(n_regions, rspan)
+            return self._stream_from_region_dists(
+                d_all[:nvr], starts, rspan, nw, thr_int
+            )
+        if int(words[-2]) > 0:
+            # borderline integer distances present (non-exact threshold
+            # injected): exact full fetch (rare)
+            d_all = _with_retry(lambda: np.asarray(d_h)).reshape(n_regions, rspan)
+            return self._stream_from_region_dists(
+                d_all[:nvr], starts, rspan, nw, thr_int
+            )
+        bits = _unpack_bitmap_words(words[:-2], n_regions * rspan)[: nvr * rspan]
+        dist0 = float(np.int64(words[-1])) / self.scale
+        return self._stream_from_reduction(d_h, bits, starts, rspan, nw - 1, dist0)
 
     def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int, tracker=None) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.

@@ -128,6 +128,10 @@ def _fused_cluster_planned(codes_dev, s_stack, small, meta, *, k, specs, depth, 
     active = bm | shifted
     active = active.at[:, 0].set(True)  # window 0 (dist0)
     asb = active.reshape(m, n_blocks // sb, sb).any(axis=2)
+    # clamp per cluster: expansion past the last valid window must not
+    # emit a region starting >= nw_c (host _plan_starts clamps hi to nw)
+    sb_starts = jnp.arange(asb.shape[1], dtype=jnp.int32)[None, :] * rspan
+    asb = asb & (sb_starts < small[:m, None])
     counts = jnp.cumsum(asb.astype(jnp.int32), axis=1)
     n_valid_regions = counts[:, -1]
     overflow = (n_valid_regions > n_regions).astype(jnp.uint32)
