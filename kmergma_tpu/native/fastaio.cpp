@@ -200,3 +200,142 @@ extern "C" int scan_rolling_i64(const signed char* codes, long n,
     delete[] counts;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Batched semi-global Gotoh aligner - exact port of ops/align.py's
+// semiglobal_align + _traceback semantics (same integer recurrence, same
+// endpoint / tie-break / gap-extend conventions; bit-identity is pinned by
+// tests/test_alignment.py fuzz vs the NumPy oracle).  One thread per
+// hardware core over independent subjects: the hit-dense alignment stage
+// (ref /root/reference/src/Alignment.jl:33-52) is wavefront DP per hit,
+// embarrassingly parallel across hits.
+//
+//   semiglobal_batch(a_idx, m, b_flat, b_off, b_len, n_subj, nuc44,
+//                    gap_open, gap_extend, ops_flat, ops_off, n_ops,
+//                    scores, n_threads)
+//
+// a_idx/b_*: IUPAC letter indices (0..14).  Per subject i the op codes
+// ('='=0 'X'=1 'I'=2 'D'=3) are written to ops_flat[ops_off[i]..] in
+// TRACEBACK (reverse) order - trailing free-gap Ds first, leading free-gap
+// Ds last - capacity m + b_len[i] + 2; n_ops[i] = count; scores[i] = DP
+// max.  Returns 0, or -1 on a traceback invariant violation.
+
+#include <atomic>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const long long ALN_NEG = -(1LL << 40);  // matches ops/align.py NEG_INF
+
+int align_one(const signed char* a, int m, const signed char* b, int n,
+              const int* nuc44, long long go, long long ge,
+              signed char* ops, long* n_ops, long long* score_out,
+              long long* H, long long* E, long long* F) {
+    const int W = n + 1;
+    auto sub = [&](int i, int j) -> long long {  // 0-based a/b positions
+        return nuc44[a[i] * 15 + b[j]];
+    };
+    for (int j = 0; j <= n; ++j) { H[j] = 0; E[j] = ALN_NEG; F[j] = ALN_NEG; }
+    for (int i = 1; i <= m; ++i) {
+        long long* Hp = H + (long)(i - 1) * W;
+        long long* Hi = H + (long)i * W;
+        long long* Ep = E + (long)(i - 1) * W;
+        long long* Ei = E + (long)i * W;
+        long long* Fi = F + (long)i * W;
+        Hi[0] = Ei[0] = go + ge * i;
+        Fi[0] = ALN_NEG;
+        long long runmax = Hi[0];  // max over base[0..j-1], base[0] = H[i][0]
+        for (int j = 1; j <= n; ++j) {
+            const long long e = std::max(Hp[j] + go + ge, Ep[j] + ge);
+            Ei[j] = e;
+            const long long diag = Hp[j - 1] + sub(i - 1, j - 1);
+            const long long G = diag > e ? diag : e;
+            const long long f = go + ge * j + runmax;
+            Fi[j] = f;
+            Hi[j] = G > f ? G : f;
+            const long long cand = G - ge * j;
+            if (cand > runmax) runmax = cand;
+        }
+    }
+    // traceback (ops in reverse order)
+    const long long* Hm = H + (long)m * W;
+    long long best = Hm[0];
+    int j0 = 0;
+    for (int j = 0; j <= n; ++j)
+        if (Hm[j] >= best) { best = Hm[j]; j0 = j; }  // last argmax
+    *score_out = best;
+    long pos = 0;
+    for (int t = 0; t < n - j0; ++t) ops[pos++] = 3;  // trailing free gap
+    int i = m, j = j0, state = 0;  // 0=H 1=F 2=E
+    while (i > 0) {
+        const long long* Hi = H + (long)i * W;
+        const long long* Hp = H + (long)(i - 1) * W;
+        const long long* Ei = E + (long)i * W;
+        const long long* Fi = F + (long)i * W;
+        if (state == 0) {
+            if (j > 0 && Hi[j] == Hp[j - 1] + sub(i - 1, j - 1)) {
+                ops[pos++] = (a[i - 1] == b[j - 1]) ? 0 : 1;
+                --i; --j;
+            } else if (j > 0 && Hi[j] == Fi[j]) {
+                state = 1;
+            } else if (Hi[j] == Ei[j]) {
+                state = 2;
+            } else {
+                return -1;  // DP invariant violated
+            }
+        } else if (state == 1) {
+            ops[pos++] = 3;
+            if (!(j > 1 && Fi[j] == Fi[j - 1] + ge)) state = 0;
+            --j;
+        } else {
+            ops[pos++] = 2;
+            const long long* Ep = E + (long)(i - 1) * W;
+            if (!(i > 1 && Ei[j] == Ep[j] + ge)) state = 0;
+            --i;
+        }
+    }
+    for (int t = 0; t < j; ++t) ops[pos++] = 3;  // leading free gap
+    *n_ops = pos;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" int semiglobal_batch(
+    const signed char* a_idx, int m,
+    const signed char* b_flat, const long* b_off, const long* b_len,
+    long n_subj, const int* nuc44, int gap_open, int gap_extend,
+    signed char* ops_flat, const long* ops_off, long* n_ops,
+    long long* scores, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    long max_n = 0;
+    for (long s = 0; s < n_subj; ++s)
+        if (b_len[s] > max_n) max_n = b_len[s];
+    std::atomic<long> next(0);
+    std::atomic<int> rc(0);
+    auto worker = [&]() {
+        // per-thread DP buffers sized for the largest subject
+        std::vector<long long> H((long)(m + 1) * (max_n + 1));
+        std::vector<long long> E((long)(m + 1) * (max_n + 1));
+        std::vector<long long> F((long)(m + 1) * (max_n + 1));
+        for (;;) {
+            const long s = next.fetch_add(1);
+            if (s >= n_subj || rc.load() != 0) return;
+            const int r = align_one(
+                a_idx, m, b_flat + b_off[s], (int)b_len[s], nuc44,
+                gap_open, gap_extend, ops_flat + ops_off[s], &n_ops[s],
+                &scores[s], H.data(), E.data(), F.data());
+            if (r != 0) rc.store(r);
+        }
+    };
+    if (n_threads == 1 || n_subj == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        const int use = (int)std::min<long>(n_threads, n_subj);
+        for (int t = 0; t < use; ++t) ts.emplace_back(worker);
+        for (auto& t : ts) t.join();
+    }
+    return rc.load();
+}

@@ -150,6 +150,9 @@ def semiglobal_align_batch(
     a = _seq_to_idx(query)
     bs = [_seq_to_idx(s) for s in subjects]
     m = a.shape[0]
+    native = _align_batch_native(a, bs, gap_open, gap_extend)
+    if native is not None:
+        return native
     go, ge = np.int64(gap_open), np.int64(gap_extend)
     out: list[AlignResult | None] = [None] * len(subjects)
 
@@ -213,6 +216,35 @@ def semiglobal_align_batch(
     return out  # type: ignore[return-value]
 
 
+def _align_batch_native(a: np.ndarray, bs: "list[np.ndarray]", gap_open: int, gap_extend: int):
+    """Threaded C++ batch DP (native/fastaio.cpp semiglobal_batch) - an
+    exact port of semiglobal_align + _traceback, fuzz-pinned bit-identical.
+    Returns None (pure-Python fallback) when the toolchain/library is
+    unavailable or KMERGMA_ALIGN_NATIVE=0."""
+    import os
+
+    if os.environ.get("KMERGMA_ALIGN_NATIVE", "") == "0":
+        return None
+    from ..utils.native import semiglobal_batch_native
+
+    got = semiglobal_batch_native(a, bs, _NUC44.astype(np.int32), gap_open, gap_extend)
+    if got is None:
+        return None
+    scores, ops_flat, ops_off, n_ops = got
+    out: list[AlignResult] = []
+    for i in range(len(bs)):
+        rev = ops_flat[int(ops_off[i]) : int(ops_off[i]) + int(n_ops[i])]
+        runs: list[tuple[int, str]] = []
+        for op_code in rev[::-1]:
+            op = "=XID"[int(op_code)]
+            if runs and runs[-1][1] == op:
+                runs[-1] = (runs[-1][0] + 1, op)
+            else:
+                runs.append((1, op))
+        out.append(AlignResult(score=int(scores[i]), cigar_runs=runs))
+    return out
+
+
 def align_hits_batch(
     query: "str | bytes",
     subjects: "list[str | bytes]",
@@ -233,12 +265,23 @@ def align_hits_batch(
     force = os.environ.get("KMERGMA_ALIGN_DEVICE", "")
     use_device = force == "1"
     if force == "":
-        try:
-            import jax
+        # the threaded native host DP (exact port, fuzz-pinned) beats the
+        # device path's dispatch/round-trip latency at hit-batch scale on
+        # remote-attached TPUs (r5 measured); the device DP remains the
+        # TPU fallback when no host toolchain exists, and
+        # KMERGMA_ALIGN_DEVICE=1 forces it
+        from ..utils.native import get_lib
 
-            use_device = jax.default_backend() == "tpu" and len(subjects) >= 16
-        except Exception:  # pragma: no cover - jax always present in-tree
-            use_device = False
+        native_ok = (
+            os.environ.get("KMERGMA_ALIGN_NATIVE", "") != "0" and get_lib() is not None
+        )
+        if not native_ok:
+            try:
+                import jax
+
+                use_device = jax.default_backend() == "tpu" and len(subjects) >= 16
+            except Exception:  # pragma: no cover - jax always present in-tree
+                use_device = False
     if use_device:
         from .align_device import semiglobal_align_device
 

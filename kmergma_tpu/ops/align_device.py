@@ -43,7 +43,9 @@ from .align import _NUC44, AlignResult, _seq_to_idx, semiglobal_align
 
 _OPS = "=XID"
 NEG = -(2**30)
-RLE_CAP = 96  # max CIGAR runs per hit on the device path
+RLE_CAP = 256  # max CIGAR runs per hit on the device path (r5: bench-shaped
+# hits - a consensus vs a DIFFERENT family member - measured up to ~117
+# runs; 96 silently sent ~20% of hits to the host fallback)
 
 
 def _forward_tl(a_sub, bmat, go, ge):
@@ -250,15 +252,22 @@ def semiglobal_align_device(
             for x in run(a_sub, jnp.asarray(bmat), m=m, n=n,
                          go=int(gap_open), ge=int(gap_extend))
         )
+        overflowed: list[int] = []
         for bi, i_orig in enumerate(idxs):
             if int(n_runs[bi]) > RLE_CAP:
-                # run-count overflow (structurally pathological): exact
-                # host oracle for this hit
-                out[i_orig] = semiglobal_align(
-                    query, [subjects[i_orig]], gap_open, gap_extend
-                )[0]
+                overflowed.append(i_orig)
                 continue
             entries = rle[bi, : int(n_runs[bi])]
             runs = _decode_rle(entries, m, n, a_np, bmat[bi])
             out[i_orig] = AlignResult(score=int(scores[bi]), cigar_runs=runs)
+        if overflowed:
+            # run-count overflow (structurally pathological): ONE batched
+            # exact host-oracle pass for all such hits
+            from .align import semiglobal_align_batch
+
+            redo = semiglobal_align_batch(
+                query, [subjects[i] for i in overflowed], gap_open, gap_extend
+            )
+            for i_orig, r in zip(overflowed, redo):
+                out[i_orig] = r
     return out  # type: ignore[return-value]

@@ -28,13 +28,13 @@ def _build_lib() -> "ctypes.CDLL | None":
     try:
         if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", so_path, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         lib = ctypes.CDLL(so_path)
-        lib.scan_rolling_i64  # newest symbol check (stale .so -> AttributeError)
+        lib.semiglobal_batch  # newest symbol check (stale .so -> AttributeError)
     except (OSError, subprocess.SubprocessError, AttributeError):
         return None
 
@@ -60,7 +60,59 @@ def _build_lib() -> "ctypes.CDLL | None":
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p,
     ]
+    lib.semiglobal_batch.restype = ctypes.c_int
+    lib.semiglobal_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,            # a_idx, m
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,  # b_flat, b_off, b_len, n_subj
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,  # nuc44, gap_open, gap_extend
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # ops_flat, ops_off, n_ops
+        ctypes.c_void_p, ctypes.c_int,            # scores, n_threads
+    ]
     return lib
+
+
+def semiglobal_batch_native(a_idx: np.ndarray, bs: "list[np.ndarray]", nuc44: np.ndarray, gap_open: int, gap_extend: int):
+    """Native threaded batch aligner.
+
+    a_idx int8[m], bs = per-subject int8 letter-index arrays.  Returns
+    (scores int64[n], ops int8 flat in traceback order, ops_off, n_ops) or
+    None when the native library is unavailable.  Raises on a DP
+    invariant violation (never observed; the fuzz suite pins equality).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = int(a_idx.shape[0])
+    n_subj = len(bs)
+    b_len = np.asarray([b.shape[0] for b in bs], dtype=np.int64)
+    b_off = np.zeros(n_subj, dtype=np.int64)
+    np.cumsum(b_len[:-1], out=b_off[1:])
+    b_flat = np.concatenate(bs).astype(np.int8) if n_subj else np.zeros(0, np.int8)
+    caps = m + b_len + 2
+    ops_off = np.zeros(n_subj, dtype=np.int64)
+    np.cumsum(caps[:-1], out=ops_off[1:])
+    ops_flat = np.empty(int(caps.sum()), dtype=np.int8)
+    n_ops = np.empty(n_subj, dtype=np.int64)
+    scores = np.empty(n_subj, dtype=np.int64)
+    a8 = np.ascontiguousarray(a_idx, dtype=np.int8)
+    nuc = np.ascontiguousarray(nuc44, dtype=np.int32)
+    rc = lib.semiglobal_batch(
+        a8.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(m),
+        b_flat.ctypes.data_as(ctypes.c_void_p),
+        b_off.ctypes.data_as(ctypes.c_void_p),
+        b_len.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(n_subj),
+        nuc.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(gap_open), ctypes.c_int(gap_extend),
+        ops_flat.ctypes.data_as(ctypes.c_void_p),
+        ops_off.ctypes.data_as(ctypes.c_void_p),
+        n_ops.ctypes.data_as(ctypes.c_void_p),
+        scores.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(min(8, os.cpu_count() or 1)),
+    )
+    if rc != 0:
+        raise AssertionError("native traceback: inconsistent DP cell")
+    return scores, ops_flat, ops_off, n_ops
 
 
 def get_lib() -> "ctypes.CDLL | None":
