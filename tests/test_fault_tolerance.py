@@ -56,8 +56,9 @@ def test_record_stream_retries_failed_region_fetch(monkeypatch):
     monkeypatch.setattr(
         scan_mod, "_with_retry", lambda fn, attempts=2, delay_s=5.0: _with_retry(fn, attempts, 0.0)
     )
-    flaky_dev = _Flaky(scan_mod._scan_regions_summarized, fails=1)
-    monkeypatch.setattr(scan_mod, "_scan_regions_summarized", flaky_dev)
+    # whole-record scans ride the r5 planned dispatch (_split_planned here)
+    flaky_dev = _Flaky(scan_mod._split_planned, fails=1)
+    monkeypatch.setattr(scan_mod, "_split_planned", flaky_dev)
     got = eng.record_stream(codes, thr, codes_dev=eng.prepare_codes(codes))
     assert flaky_dev.calls >= 2  # failed once, retried
     assert got[0] == expected[0] and got[1] == expected[1]
