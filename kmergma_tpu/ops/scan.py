@@ -328,13 +328,15 @@ def _plan_and_summarize(codes_dev, flat, rmeta, s_profile, *, k, ws, r, rspan, n
     targets = jnp.arange(1, n_regions + 1, dtype=jnp.int32)
     sb_idx = jnp.searchsorted(counts, targets, side="left")
     starts = jnp.where(sb_idx >= asb.shape[0], 0, sb_idx).astype(jnp.int32) * rspan
-    d_flat, words = _regions_summarized_multi_body(
+    d_flat, words, red = _regions_summarized_multi_body(
         codes_dev, starts, s_profile[None], rmeta,
         k=k, rspan=rspan, n_regions=n_regions, specs=((ws, r),),
         use_pallas=use_pallas, region_valid=nvr[None],
+        reduce_mi=(rmeta[2] - 1)[None],  # mi = nw - 1
     )
     blob = jnp.concatenate(
-        [words, starts.astype(jnp.uint32), nvr[None].astype(jnp.uint32), overflow[None]]
+        [words, starts.astype(jnp.uint32), nvr[None].astype(jnp.uint32),
+         overflow[None], red.astype(jnp.uint32)]
     )
     return d_flat, blob
 
@@ -588,6 +590,101 @@ def _scan_region_rows_dense(rows, s_profile, *, k, ws, r, rspan, n_regions, use_
     return _scan_rows_d(rows, s_profile, k, ws, r, use_pallas)
 
 
+def _below_and_words(d, starts, meta, n_valid_rows=None):
+    """(below bool[n_regions, rspan], packed words blob) - the below mask
+    feeds the fused run-reduce tail; the blob is _below_words_and_count's
+    output (packed bits + borderline count + dist0)."""
+    rspan = d.shape[1]
+    cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
+    valid = (starts[:, None] + cols) < meta[2]
+    if n_valid_rows is not None:
+        rows = jnp.arange(d.shape[0], dtype=jnp.int32)[:, None]
+        valid = valid & (rows < n_valid_rows)
+    below = (d < meta[0]) & valid
+    border = (d >= meta[1]) & below
+    words = _pack_bitmap_words(below.astype(jnp.int32).reshape(-1))
+    count = jnp.sum(border, dtype=jnp.int32).astype(jnp.uint32)
+    d0 = d[0, 0].astype(jnp.uint32)  # starts[0] == 0 always (window 0)
+    return below, jnp.concatenate([words, count[None], d0[None]])
+
+
+#: fused-reduce slot buckets: per-profile run and piece capacities of the
+#: in-dispatch run reduction (overflowing records fall back to the
+#: separate run-reduce round trip - same results, one more trip)
+_RED_RUNS = 1024
+_RED_PIECES = 2048
+
+
+def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS, piece_bucket=_RED_PIECES):
+    """Run extraction + per-piece (min, first-argmin) + edge values ON
+    DEVICE - the run-reduce round trip folded into the planned dispatch
+    (r5; host equivalents: _extract_runs / _run_pieces / _run_reduce).
+
+    d/below: int32/bool[n_regions, rspan]; starts: int32[n_regions] region
+    start windows (device-planned grid: ascending, adjacent exactly where
+    a run can cross a boundary); mi: last stream index (nw-1, or the Omn
+    imax bound).  All compaction is cumsum + searchsorted (no scatter).
+
+    Returns int32[2 + 4*run_bucket + 2*piece_bucket]:
+      [n_runs, n_pieces,
+       run_lo_win[R], run_len[R], edge_val[R], edge_ok[R],
+       piece_min[P], piece_argmin[P]]
+    Slot overflow is detected by the caller via the leading counts; piece
+    starts are recomputed on host from run extents (same formula as
+    _run_pieces), and within a run flat and window indices advance
+    together, so window mapping is linear from run_lo_win.
+    """
+    R, P, B = run_bucket, piece_bucket, _RUN_BUCKET
+    dfl = d.reshape(-1)
+    nfl = dfl.shape[0]
+    idxs = jnp.arange(nfl, dtype=jnp.int32)
+    slot = idxs // rspan
+    col = idxs % rspan
+    win = starts[slot] + col
+    fl = below.reshape(-1) & (win <= mi)
+    fl = fl.at[0].set(False)  # window 0 = dist0, never in the stream
+    starts_prev = jnp.concatenate([starts[:1] + 1, starts[:-1]])  # adj[0]=False
+    adj = starts == starts_prev + rspan
+    contig = (col > 0) | adj[slot]
+    prev_b = jnp.concatenate([jnp.zeros(1, bool), fl[:-1]]) & contig
+    rise = fl & ~prev_b
+    nxt_contig = jnp.concatenate([contig[1:], jnp.zeros(1, bool)])
+    nxt_b = jnp.concatenate([fl[1:], jnp.zeros(1, bool)]) & nxt_contig
+    fall = fl & ~nxt_b
+    cr = jnp.cumsum(rise.astype(jnp.int32))
+    cf = jnp.cumsum(fall.astype(jnp.int32))
+    n_runs = cr[-1]
+    tr = jnp.arange(1, R + 1, dtype=jnp.int32)
+    lo_f = jnp.clip(jnp.searchsorted(cr, tr, side="left"), 0, nfl - 1).astype(jnp.int32)
+    hi_f = jnp.clip(jnp.searchsorted(cf, tr, side="left"), 0, nfl - 1).astype(jnp.int32)
+    jv = tr <= n_runs
+    run_len = jnp.where(jv, hi_f - lo_f + 1, 0)
+    run_lo_win = jnp.where(jv, win[lo_f], 0)
+    e_f = jnp.clip(hi_f + 1, 0, nfl - 1)
+    edge_ok = jv & nxt_contig[jnp.clip(hi_f, 0, nfl - 1)] & (win[hi_f] + 1 <= mi)
+    edge_val = dfl[e_f]  # garbage where ~edge_ok (caller masks)
+
+    pc = jnp.where(jv, (run_len + B - 1) // B, 0)
+    cpc = jnp.cumsum(pc)
+    n_pieces = cpc[-1]
+    sp = jnp.arange(1, P + 1, dtype=jnp.int32)
+    pj = jnp.clip(jnp.searchsorted(cpc, sp, side="left"), 0, R - 1)
+    prev_cpc = jnp.concatenate([jnp.zeros(1, jnp.int32), cpc[:-1]])
+    t = (sp - 1) - prev_cpc[pj]
+    p_start = lo_f[pj] + B * t
+    p_len = jnp.where(sp <= n_pieces, jnp.clip(hi_f[pj] - p_start + 1, 0, B), 0)
+    off = jnp.arange(B, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(p_start[:, None] + off, 0, nfl - 1)
+    vals = jnp.take(dfl, gidx.reshape(-1)).reshape(P, B)
+    masked = jnp.where(off < p_len[:, None], vals, jnp.int32(2**31 - 1))
+    pmin = jnp.min(masked, axis=1)
+    parg = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    return jnp.concatenate([
+        jnp.stack([n_runs, n_pieces]), run_lo_win, run_len,
+        edge_val, edge_ok.astype(jnp.int32), pmin, parg,
+    ])
+
+
 def _below_words_and_count(d, starts, meta, n_valid_rows=None):
     """Shared tail of the summarized region passes: packed conservative
     below bits + the borderline count + the record's first-window distance
@@ -604,18 +701,7 @@ def _below_words_and_count(d, starts, meta, n_valid_rows=None):
     unused slots with start 0, whose recomputed windows must not leak
     below/borderline bits.
     """
-    rspan = d.shape[1]
-    cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
-    valid = (starts[:, None] + cols) < meta[2]
-    if n_valid_rows is not None:
-        rows = jnp.arange(d.shape[0], dtype=jnp.int32)[:, None]
-        valid = valid & (rows < n_valid_rows)
-    below = (d < meta[0]) & valid
-    border = (d >= meta[1]) & below
-    words = _pack_bitmap_words(below.astype(jnp.int32).reshape(-1))
-    count = jnp.sum(border, dtype=jnp.int32).astype(jnp.uint32)
-    d0 = d[0, 0].astype(jnp.uint32)  # starts[0] == 0 always (window 0)
-    return jnp.concatenate([words, count[None], d0[None]])
+    return _below_and_words(d, starts, meta, n_valid_rows)[1]
 
 
 @partial(jax.jit, static_argnames=("k", "ws", "r", "rspan", "n_regions", "use_pallas"))
@@ -649,19 +735,23 @@ def _scan_region_rows_summarized(rows, starts, s_profile, meta, *, k, ws, r, rsp
     return d, _below_words_and_count(d, starts, meta)
 
 
-def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None):
+def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None, reduce_mi=None, red_runs=_RED_RUNS, red_pieces=_RED_PIECES):
     """Body of the summarized multi-cluster region pass (shared between the
-    standalone jit below and the fused planned dispatch in scan_cluster).
+    standalone jit below and the fused planned dispatches).
 
     ``region_valid`` (optional int32[m]) gives each cluster's count of
     device-planned region slots; padded slots are masked out of the below
-    bits and borderline counts.
+    bits and borderline counts.  ``reduce_mi`` (optional int32[m] of last
+    stream indices) additionally runs the fused run-reduce per cluster
+    (_device_run_reduce) and returns its sections as a third output -
+    zero further round trips for in-bucket records.
     """
     m = len(specs)
     d_parts = []
     word_parts = []
     count_parts = []
     d0_parts = []
+    red_parts = []
     for ci, (ws, r) in enumerate(specs):
         starts = jax.lax.slice(starts_flat, (ci * n_regions,), ((ci + 1) * n_regions,))
         rows = jax.vmap(
@@ -669,15 +759,26 @@ def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, 
         )(starts)
         d = _scan_rows_d(rows, s_stack[ci], k, ws, r, use_pallas)
         cmeta = jnp.stack([meta[ci], meta[m + ci], meta[2 * m + ci]])
-        wc = _below_words_and_count(
+        below, wc = _below_and_words(
             d, starts, cmeta,
             n_valid_rows=None if region_valid is None else region_valid[ci],
         )
+        if reduce_mi is not None:
+            red_parts.append(
+                _device_run_reduce(
+                    d, below, starts, rspan, reduce_mi[ci],
+                    run_bucket=red_runs, piece_bucket=red_pieces,
+                )
+            )
         d_parts.append(d.reshape(-1))
         word_parts.append(wc[:-2])
         count_parts.append(wc[-2:-1])
         d0_parts.append(wc[-1:])
-    return jnp.concatenate(d_parts), jnp.concatenate(word_parts + count_parts + d0_parts)
+    d_flat = jnp.concatenate(d_parts)
+    words = jnp.concatenate(word_parts + count_parts + d0_parts)
+    if reduce_mi is None:
+        return d_flat, words
+    return d_flat, words, jnp.concatenate(red_parts)
 
 
 @partial(jax.jit, static_argnames=("k", "rspan", "n_regions", "specs", "use_pallas"))
@@ -1283,12 +1384,13 @@ class ScanEngine:
 
         The bitmap pass (fused Mosaic kernel when available, else the
         split span scan), the device region plan and the exact summarized
-        recompute run as ONE jit; the host fetches one blob and goes
-        straight to run extraction - two round trips per record (blob +
-        run-reduce; ONE when the record is candidate-free or small enough
-        for the raw-distance cutover) instead of three.  Bucket-overflow
-        records fall back to the host-planned path; the bucket doubles
-        for later records.  Returns (dist0, stream).
+        recompute run as ONE jit, and (r5 fused reduce) the run
+        extraction + per-piece minima ride the same dispatch - ONE host
+        round trip per record for in-bucket, borderline-free records
+        (was three in r4).  Slot-bucket overflow falls back to the
+        separate run-reduce trip; region-bucket overflow to the
+        host-planned path (bucket jumps straight to the fitting tier).
+        Returns (dist0, stream).
         """
         rspan = min(self.chunk, self.rspan)
         n_regions = self.plan_regions
@@ -1333,13 +1435,19 @@ class ScanEngine:
         blob = _with_retry(lambda: np.asarray(blob_h))
         W = n_regions * rspan // 32
         words = blob[: W + 2]
-        starts_arr = blob[W + 2 : W + 2 + n_regions].astype(np.int64)
-        nvr = int(blob[W + 2 + n_regions])
-        overflow = int(blob[-1])
+        o = W + 2
+        starts_arr = blob[o : o + n_regions].astype(np.int64)
+        o += n_regions
+        nvr = int(blob[o])
+        overflow = int(blob[o + 1])
+        red = blob[o + 2 :].view(np.int32)
         if overflow:
-            if self.plan_regions < self.plan_regions_max:
-                self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
-            else:
+            # jump straight to the bucket that fits (nvr = the TRUE count,
+            # it rides the blob even on overflow) - tier-by-tier growth
+            # costs one slow relay compile per tier (r5 strobe profile)
+            while self.plan_regions < nvr and self.plan_regions < self.plan_regions_max:
+                self.plan_regions *= 2
+            if nvr > self.plan_regions_max:
                 self.device_plan = False
             flat = _unpack_bitmap_words(
                 _with_retry(lambda: np.asarray(packed_h)), n_blocks
@@ -1363,9 +1471,52 @@ class ScanEngine:
             return self._stream_from_region_dists(
                 d_all[:nvr], starts, rspan, nw, thr_int
             )
-        bits = _unpack_bitmap_words(words[:-2], n_regions * rspan)[: nvr * rspan]
         dist0 = float(np.int64(words[-1])) / self.scale
+        # fused run-reduce rode the blob: zero further round trips unless
+        # the record overflowed the run/piece slot buckets
+        stream = self._stream_from_device_reduce(red, dist0)
+        if stream is not None:
+            return dist0, stream
+        bits = _unpack_bitmap_words(words[:-2], n_regions * rspan)[: nvr * rspan]
         return self._stream_from_reduction(d_h, bits, starts, rspan, nw - 1, dist0)
+
+    def _stream_from_device_reduce(self, red: np.ndarray, dist0: float, run_bucket: int = _RED_RUNS, piece_bucket: int = _RED_PIECES):
+        """Stream assembly from a fetched _device_run_reduce section -
+        the host half of the fused reduce (combines per-piece minima into
+        per-run first-argmin minima, exactly _combine_pieces semantics).
+        Returns None on slot-bucket overflow (caller falls back to the
+        separate run-reduce round trip)."""
+        R, P, B = run_bucket, piece_bucket, _RUN_BUCKET
+        n_runs = int(red[0])
+        n_pieces = int(red[1])
+        if n_runs > R or n_pieces > P:
+            return None
+        if n_runs == 0:
+            return []
+        o = 2
+        run_lo = red[o : o + R][:n_runs].astype(np.int64)
+        o += R
+        run_len = red[o : o + R][:n_runs].astype(np.int64)
+        o += R
+        edge_val = red[o : o + R][:n_runs].astype(np.int64)
+        o += R
+        edge_ok = red[o : o + R][:n_runs].astype(bool)
+        o += R
+        pmin = red[o : o + P][:n_pieces].astype(np.int64)
+        o += P
+        parg = red[o : o + P][:n_pieces].astype(np.int64)
+        # piece grid recomputed from the run extents (the device used the
+        # same formula); run_lo is a WINDOW index and flat/window advance
+        # together inside a run, so piece starts/argmins are windows
+        run_ids, p_start, _ = _run_pieces(run_lo, run_lo + run_len - 1, B)
+        if len(run_ids) != n_pieces:  # pragma: no cover - device invariant
+            return None
+        run_min, arg_win = _combine_pieces(run_ids, p_start, pmin, parg, n_runs)
+        g_edge = (run_lo + run_len)[edge_ok]
+        idx = np.concatenate([arg_win, g_edge])
+        vals = np.concatenate([run_min, edge_val[edge_ok]]).astype(np.float64) / self.scale
+        order = np.argsort(idx, kind="stable")
+        return list(zip(idx[order].tolist(), vals[order].tolist()))
 
     def _segmented_bitmaps(self, codes: np.ndarray, nw: int, thr_int, tracker=None) -> np.ndarray:
         """Pipelined whole-record bitmaps: transfer-compute overlap.

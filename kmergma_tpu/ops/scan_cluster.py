@@ -66,8 +66,15 @@ def _fused_cluster_all(codes_dev, s_stack, small, *, k, specs, depth, t, block, 
     return _pack_bitmap_words(handle.reshape(-1))
 
 
+#: per-cluster fused-reduce slot buckets (m sections ride one fetch, so
+#: they are half the single-profile buckets; overflow falls back to the
+#: separate reduce round trip)
+_CRED_RUNS = 512
+_CRED_PIECES = 1024
+
+
 @partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "lookup_dtype", "chunk", "rspan", "n_regions", "use_pallas"))
-def _fused_cluster_planned(codes_dev, s_stack, small, meta, *, k, specs, depth, t, block, n_tiles, lookup_dtype, chunk, rspan, n_regions, use_pallas):
+def _fused_cluster_planned(codes_dev, s_stack, small, meta, mis, *, k, specs, depth, t, block, n_tiles, lookup_dtype, chunk, rspan, n_regions, use_pallas):
     """Fused bitmap pass + DEVICE-SIDE region planning + summarized region
     recompute, all in ONE dispatch (VERDICT r4 next-round #1).
 
@@ -87,12 +94,13 @@ def _fused_cluster_planned(codes_dev, s_stack, small, meta, *, k, specs, depth, 
     bits masked (scan._below_words_and_count n_valid_rows).
 
     Returns (d_flat, blob, packed_bitmap):
-      d_flat int32[m*n_regions*rspan] - stays on device for the reduce;
-      blob   uint32[m*n_regions*rspan/32 + 2m + m*n_regions + 2m] =
-             [below words | borderline counts | dist0s | starts | valid
-             counts | overflow flags] - the ONE per-record fetch;
-      packed_bitmap - the packed block bitmap, fetched ONLY on overflow
-             (host falls back to the r4 path).
+      d_flat int32[m*n_regions*rspan] - stays on device (only the rare
+             fallback paths fetch from it);
+      blob   uint32 = [below words | borderline counts | dist0s | starts |
+             valid counts | overflow flags | per-cluster fused run-reduce
+             sections (_device_run_reduce)] - the ONE per-record fetch;
+      packed_bitmap - the packed block bitmap, fetched ONLY on region-
+             bucket overflow (host falls back to the r4 path).
     """
     from .scan import (
         _lower_bound_base,
@@ -140,16 +148,18 @@ def _fused_cluster_planned(codes_dev, s_stack, small, meta, *, k, specs, depth, 
     starts = jnp.where(sb_idx >= asb.shape[1], 0, sb_idx).astype(jnp.int32) * rspan
     starts_flat = starts.reshape(-1)
 
-    d_flat, words = _regions_summarized_multi_body(
+    d_flat, words, red = _regions_summarized_multi_body(
         codes_dev, starts_flat, s_stack, meta,
         k=k, rspan=rspan, n_regions=n_regions, specs=specs,
         use_pallas=use_pallas, region_valid=n_valid_regions,
+        reduce_mi=mis, red_runs=_CRED_RUNS, red_pieces=_CRED_PIECES,
     )
     blob = jnp.concatenate([
         words,
         starts_flat.astype(jnp.uint32),
         n_valid_regions.astype(jnp.uint32),
         overflow,
+        red.astype(jnp.uint32),
     ])
     return d_flat, blob, _pack_bitmap_words(handle.reshape(-1))
 
@@ -523,9 +533,9 @@ class ClusterScanEngine:
         The fused kernel, the device region plan and the summarized exact
         recompute run back to back in ONE jit; the host fetches ONE blob
         (below words + borderline counts + dist0s + planned starts +
-        valid counts + overflow) and goes straight to run extraction -
-        TWO host round trips per record (blob + run-reduce) instead of
-        the r4 path's three (bitmap + words + reduce).  Records whose
+        valid counts + overflow + fused run-reduce sections) - ONE host
+        round trip per record for in-bucket, borderline-free records
+        (the r4 path paid three: bitmap + words + reduce).  Records whose
         active regions overflow the static bucket fall back to the
         host-planned path (the packed bitmap rides the same dispatch and
         is fetched only then), and the bucket doubles for later records.
@@ -565,10 +575,23 @@ class ClusterScanEngine:
             meta = jnp.asarray(np.concatenate([t_exact, t_exact, n_valids]).astype(np.int32))
             self._small_cache[rkey] = meta
 
+        # per-cluster last stream index for the fused run-reduce: the Omn
+        # loop bound i <= imax (ref OmnGenomeMiner.jl:89) intersected with
+        # each cluster's window count
+        imax = seq_len - self.max_ws - self.k + 2
+        mi_arr = np.minimum(n_valids.astype(np.int64) - 1, imax).astype(np.int32)
+        mkey = ("mis", tuple(mi_arr.tolist()))
+        mis = self._small_cache.get(mkey)
+        if mis is None:
+            if len(self._small_cache) > 64:
+                self._small_cache.clear()
+            mis = jnp.asarray(mi_arr)
+            self._small_cache[mkey] = mis
+
         ld = self._resolve_lookup_dtype()
         d_flat_h, blob_h, packed_h = _with_retry(
             lambda: _fused_cluster_planned(
-                prep.dev, self.s_stack, small, meta,
+                prep.dev, self.s_stack, small, meta, mis,
                 k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
                 depth=depth, t=t, block=self.block, n_tiles=n_tiles,
                 lookup_dtype=ld, chunk=self.lookup_chunk, rspan=rspan,
@@ -583,13 +606,16 @@ class ClusterScanEngine:
         off += m * n_regions
         nvr = blob[off : off + m].astype(np.int64)
         overflow = blob[off + m : off + 2 * m]
+        red_all = blob[off + 2 * m :].view(np.int32)
         if int(overflow.sum()) > 0:
             # denser than the bucket: host-planned fallback from the packed
-            # bitmap already computed on device; grow the bucket (or stop
-            # planning on device once maxed) for subsequent records
-            if self.plan_regions < self.plan_regions_max:
-                self.plan_regions = min(self.plan_regions * 2, self.plan_regions_max)
-            else:
+            # bitmap already computed on device; jump straight to the
+            # bucket that fits (tier-by-tier growth costs one slow relay
+            # compile per tier), or stop planning on device once maxed
+            need = int(nvr.max())
+            while self.plan_regions < need and self.plan_regions < self.plan_regions_max:
+                self.plan_regions *= 2
+            if need > self.plan_regions_max:
                 self.device_plan = False
             tb = t // self.block
             flat = _unpack_bitmap_words(
@@ -617,6 +643,24 @@ class ClusterScanEngine:
             return self._streams_full_fetch(
                 d_flat, all_starts, rspan, n_regions, n_valids, thr_ints
             )
+        if int(words[-2 * m : -m].sum()) == 0:
+            # fused run-reduce rode the blob: assemble every cluster's
+            # minimal stream with ZERO further round trips (borderline-free
+            # records only; slot-bucket overflow in any cluster falls back)
+            sec = 2 + 4 * _CRED_RUNS + 2 * _CRED_PIECES
+            out = []
+            for ci, eng in enumerate(self.engines):
+                dist0 = float(np.int64(words[-m + ci])) / eng.scale
+                stream = eng._stream_from_device_reduce(
+                    red_all[ci * sec : (ci + 1) * sec], dist0,
+                    run_bucket=_CRED_RUNS, piece_bucket=_CRED_PIECES,
+                )
+                if stream is None:
+                    out = None
+                    break
+                out.append((dist0, stream))
+            if out is not None:
+                return out
         return self._streams_from_summary(
             d_flat_h, words, all_starts, rspan, n_regions, n_valids, thr_ints, seq_len
         )

@@ -164,7 +164,8 @@ def test_cluster_planned_overflow_falls_back_and_grows(clusters):
     sa = base.record_streams(codes, thrs)
     sc = planned.record_streams(codes, thrs)
     assert sc == sa
-    assert planned.plan_regions == 4  # grew for the next record
+    # direct-jump growth: lands on the tier that fits (or maxes out)
+    assert planned.plan_regions > 2
 
 
 def test_cluster_planned_reduced_matches_host_reduced(clusters):

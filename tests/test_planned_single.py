@@ -129,7 +129,9 @@ def test_planned_overflow_falls_back_and_grows():
     a = planned.record_stream(codes, thr)
     b = hostp.record_stream(codes, thr)
     assert a[:2] == b[:2]
-    assert planned.plan_regions == 4  # grew after the overflow
+    # direct-jump growth: the bucket lands on the tier that fits the
+    # record's true region count (or maxes out and disables planning)
+    assert planned.plan_regions > 2
 
 
 def test_planned_tiny_record_tail_clamp():
