@@ -608,33 +608,33 @@ def _below_and_words(d, starts, meta, n_valid_rows=None):
     return below, jnp.concatenate([words, count[None], d0[None]])
 
 
-#: fused-reduce slot buckets: per-profile run and piece capacities of the
-#: in-dispatch run reduction (overflowing records fall back to the
-#: separate run-reduce round trip - same results, one more trip)
+#: fused-reduce run-slot bucket: per-profile capacity of the in-dispatch
+#: run reduction (overflowing records fall back to the separate
+#: run-reduce round trip - same results, one more trip)
 _RED_RUNS = 1024
-_RED_PIECES = 2048
 
 
-def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS, piece_bucket=_RED_PIECES):
-    """Run extraction + per-piece (min, first-argmin) + edge values ON
+def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS):
+    """Run extraction + per-run (min, first-argmin) + edge values ON
     DEVICE - the run-reduce round trip folded into the planned dispatch
-    (r5; host equivalents: _extract_runs / _run_pieces / _run_reduce).
+    (r5; host equivalents: _extract_runs + _run_pieces + _run_reduce).
 
     d/below: int32/bool[n_regions, rspan]; starts: int32[n_regions] region
     start windows (device-planned grid: ascending, adjacent exactly where
     a run can cross a boundary); mi: last stream index (nw-1, or the Omn
-    imax bound).  All compaction is cumsum + searchsorted (no scatter).
+    imax bound).  Run boundaries come from cumsum + searchsorted (no
+    scatter); the per-run minima from a SEGMENTED prefix-scan carrying
+    (min, first-argmin) with segments reset at run rises, read at run
+    falls - the first version's padded per-piece gather cost more device
+    time than the round trip it saved (session-3 A/B), this one is pure
+    elementwise + log-depth scan.
 
-    Returns int32[2 + 4*run_bucket + 2*piece_bucket]:
-      [n_runs, n_pieces,
-       run_lo_win[R], run_len[R], edge_val[R], edge_ok[R],
-       piece_min[P], piece_argmin[P]]
-    Slot overflow is detected by the caller via the leading counts; piece
-    starts are recomputed on host from run extents (same formula as
-    _run_pieces), and within a run flat and window indices advance
-    together, so window mapping is linear from run_lo_win.
+    Returns int32[1 + 5*run_bucket]:
+      [n_runs, run_arg_win[R], run_min[R], edge_win[R], edge_val[R],
+       edge_ok[R]] - exactly the per-run data the host stream needs;
+    slot overflow is detected by the caller via n_runs.
     """
-    R, P, B = run_bucket, piece_bucket, _RUN_BUCKET
+    R = run_bucket
     dfl = d.reshape(-1)
     nfl = dfl.shape[0]
     idxs = jnp.arange(nfl, dtype=jnp.int32)
@@ -655,33 +655,31 @@ def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS, piece_
     cf = jnp.cumsum(fall.astype(jnp.int32))
     n_runs = cr[-1]
     tr = jnp.arange(1, R + 1, dtype=jnp.int32)
-    lo_f = jnp.clip(jnp.searchsorted(cr, tr, side="left"), 0, nfl - 1).astype(jnp.int32)
     hi_f = jnp.clip(jnp.searchsorted(cf, tr, side="left"), 0, nfl - 1).astype(jnp.int32)
     jv = tr <= n_runs
-    run_len = jnp.where(jv, hi_f - lo_f + 1, 0)
-    run_lo_win = jnp.where(jv, win[lo_f], 0)
-    e_f = jnp.clip(hi_f + 1, 0, nfl - 1)
-    edge_ok = jv & nxt_contig[jnp.clip(hi_f, 0, nfl - 1)] & (win[hi_f] + 1 <= mi)
-    edge_val = dfl[e_f]  # garbage where ~edge_ok (caller masks)
+    edge_win = jnp.where(jv, win[hi_f] + 1, 0)
+    edge_ok = jv & nxt_contig[hi_f] & (win[hi_f] + 1 <= mi)
+    edge_val = dfl[jnp.clip(hi_f + 1, 0, nfl - 1)]  # garbage where ~edge_ok
 
-    pc = jnp.where(jv, (run_len + B - 1) // B, 0)
-    cpc = jnp.cumsum(pc)
-    n_pieces = cpc[-1]
-    sp = jnp.arange(1, P + 1, dtype=jnp.int32)
-    pj = jnp.clip(jnp.searchsorted(cpc, sp, side="left"), 0, R - 1)
-    prev_cpc = jnp.concatenate([jnp.zeros(1, jnp.int32), cpc[:-1]])
-    t = (sp - 1) - prev_cpc[pj]
-    p_start = lo_f[pj] + B * t
-    p_len = jnp.where(sp <= n_pieces, jnp.clip(hi_f[pj] - p_start + 1, 0, B), 0)
-    off = jnp.arange(B, dtype=jnp.int32)[None, :]
-    gidx = jnp.clip(p_start[:, None] + off, 0, nfl - 1)
-    vals = jnp.take(dfl, gidx.reshape(-1)).reshape(P, B)
-    masked = jnp.where(off < p_len[:, None], vals, jnp.int32(2**31 - 1))
-    pmin = jnp.min(masked, axis=1)
-    parg = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    # segmented prefix (min, first-argmin): segment starts at each rise,
+    # ties keep the LEFT argument (the reference's strict-< minima update)
+    val = jnp.where(fl, dfl, jnp.int32(2**31 - 1))
+    flag = rise.astype(jnp.int32)
+
+    def comb(a, b):
+        fa, ma, aa = a
+        fb, mb, ab = b
+        tb = fb > 0
+        m = jnp.where(tb, mb, jnp.minimum(ma, mb))
+        arg = jnp.where(tb, ab, jnp.where(mb < ma, ab, aa))
+        return fa | fb, m, arg
+
+    _, mscan, ascan = jax.lax.associative_scan(comb, (flag, val, idxs))
+    run_min = jnp.where(jv, mscan[hi_f], 0)
+    run_arg_win = jnp.where(jv, win[jnp.clip(ascan[hi_f], 0, nfl - 1)], 0)
     return jnp.concatenate([
-        jnp.stack([n_runs, n_pieces]), run_lo_win, run_len,
-        edge_val, edge_ok.astype(jnp.int32), pmin, parg,
+        n_runs[None], run_arg_win, run_min, edge_win,
+        edge_val, edge_ok.astype(jnp.int32),
     ])
 
 
@@ -735,7 +733,7 @@ def _scan_region_rows_summarized(rows, starts, s_profile, meta, *, k, ws, r, rsp
     return d, _below_words_and_count(d, starts, meta)
 
 
-def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None, reduce_mi=None, red_runs=_RED_RUNS, red_pieces=_RED_PIECES):
+def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None, reduce_mi=None, red_runs=_RED_RUNS):
     """Body of the summarized multi-cluster region pass (shared between the
     standalone jit below and the fused planned dispatches).
 
@@ -766,8 +764,7 @@ def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, 
         if reduce_mi is not None:
             red_parts.append(
                 _device_run_reduce(
-                    d, below, starts, rspan, reduce_mi[ci],
-                    run_bucket=red_runs, piece_bucket=red_pieces,
+                    d, below, starts, rspan, reduce_mi[ci], run_bucket=red_runs
                 )
             )
         d_parts.append(d.reshape(-1))
@@ -1480,40 +1477,29 @@ class ScanEngine:
         bits = _unpack_bitmap_words(words[:-2], n_regions * rspan)[: nvr * rspan]
         return self._stream_from_reduction(d_h, bits, starts, rspan, nw - 1, dist0)
 
-    def _stream_from_device_reduce(self, red: np.ndarray, dist0: float, run_bucket: int = _RED_RUNS, piece_bucket: int = _RED_PIECES):
-        """Stream assembly from a fetched _device_run_reduce section -
-        the host half of the fused reduce (combines per-piece minima into
-        per-run first-argmin minima, exactly _combine_pieces semantics).
-        Returns None on slot-bucket overflow (caller falls back to the
-        separate run-reduce round trip)."""
-        R, P, B = run_bucket, piece_bucket, _RUN_BUCKET
+    def _stream_from_device_reduce(self, red: np.ndarray, dist0: float, run_bucket: int = _RED_RUNS):
+        """Stream assembly from a fetched _device_run_reduce section: the
+        per-run (first-argmin window, min) entries plus the rising-edge
+        entries, merge-sorted - bit-identical to _finish_reduction's
+        output by construction.  Returns None on run-slot overflow (the
+        caller falls back to the separate run-reduce round trip)."""
+        R = run_bucket
         n_runs = int(red[0])
-        n_pieces = int(red[1])
-        if n_runs > R or n_pieces > P:
+        if n_runs > R:
             return None
         if n_runs == 0:
             return []
-        o = 2
-        run_lo = red[o : o + R][:n_runs].astype(np.int64)
+        o = 1
+        arg_win = red[o : o + R][:n_runs].astype(np.int64)
         o += R
-        run_len = red[o : o + R][:n_runs].astype(np.int64)
+        run_min = red[o : o + R][:n_runs].astype(np.int64)
+        o += R
+        edge_win = red[o : o + R][:n_runs].astype(np.int64)
         o += R
         edge_val = red[o : o + R][:n_runs].astype(np.int64)
         o += R
         edge_ok = red[o : o + R][:n_runs].astype(bool)
-        o += R
-        pmin = red[o : o + P][:n_pieces].astype(np.int64)
-        o += P
-        parg = red[o : o + P][:n_pieces].astype(np.int64)
-        # piece grid recomputed from the run extents (the device used the
-        # same formula); run_lo is a WINDOW index and flat/window advance
-        # together inside a run, so piece starts/argmins are windows
-        run_ids, p_start, _ = _run_pieces(run_lo, run_lo + run_len - 1, B)
-        if len(run_ids) != n_pieces:  # pragma: no cover - device invariant
-            return None
-        run_min, arg_win = _combine_pieces(run_ids, p_start, pmin, parg, n_runs)
-        g_edge = (run_lo + run_len)[edge_ok]
-        idx = np.concatenate([arg_win, g_edge])
+        idx = np.concatenate([arg_win, edge_win[edge_ok]])
         vals = np.concatenate([run_min, edge_val[edge_ok]]).astype(np.float64) / self.scale
         order = np.argsort(idx, kind="stable")
         return list(zip(idx[order].tolist(), vals[order].tolist()))

@@ -66,11 +66,10 @@ def _fused_cluster_all(codes_dev, s_stack, small, *, k, specs, depth, t, block, 
     return _pack_bitmap_words(handle.reshape(-1))
 
 
-#: per-cluster fused-reduce slot buckets (m sections ride one fetch, so
-#: they are half the single-profile buckets; overflow falls back to the
+#: per-cluster fused-reduce run-slot bucket (m sections ride one fetch,
+#: so it is half the single-profile bucket; overflow falls back to the
 #: separate reduce round trip)
 _CRED_RUNS = 512
-_CRED_PIECES = 1024
 
 
 @partial(jax.jit, static_argnames=("k", "specs", "depth", "t", "block", "n_tiles", "lookup_dtype", "chunk", "rspan", "n_regions", "use_pallas"))
@@ -152,7 +151,7 @@ def _fused_cluster_planned(codes_dev, s_stack, small, meta, mis, *, k, specs, de
         codes_dev, starts_flat, s_stack, meta,
         k=k, rspan=rspan, n_regions=n_regions, specs=specs,
         use_pallas=use_pallas, region_valid=n_valid_regions,
-        reduce_mi=mis, red_runs=_CRED_RUNS, red_pieces=_CRED_PIECES,
+        reduce_mi=mis, red_runs=_CRED_RUNS,
     )
     blob = jnp.concatenate([
         words,
@@ -647,13 +646,13 @@ class ClusterScanEngine:
             # fused run-reduce rode the blob: assemble every cluster's
             # minimal stream with ZERO further round trips (borderline-free
             # records only; slot-bucket overflow in any cluster falls back)
-            sec = 2 + 4 * _CRED_RUNS + 2 * _CRED_PIECES
+            sec = 1 + 5 * _CRED_RUNS
             out = []
             for ci, eng in enumerate(self.engines):
                 dist0 = float(np.int64(words[-m + ci])) / eng.scale
                 stream = eng._stream_from_device_reduce(
                     red_all[ci * sec : (ci + 1) * sec], dist0,
-                    run_bucket=_CRED_RUNS, piece_bucket=_CRED_PIECES,
+                    run_bucket=_CRED_RUNS,
                 )
                 if stream is None:
                     out = None
