@@ -635,17 +635,23 @@ def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS):
     slot overflow is detected by the caller via n_runs.
     """
     R = run_bucket
+    n_regions = d.shape[0]
     dfl = d.reshape(-1)
     nfl = dfl.shape[0]
     idxs = jnp.arange(nfl, dtype=jnp.int32)
-    slot = idxs // rspan
-    col = idxs % rspan
-    win = starts[slot] + col
+    # win/contig as BROADCASTS, not 524k-element table gathers - the XLA
+    # gather is descriptor-bound at ~145M/s (the k=10 ablation's number)
+    # and two of them per profile cost more than the round trip this
+    # whole function saves (session-4 A/B)
+    cols = jnp.arange(rspan, dtype=jnp.int32)[None, :]
+    win = (starts[:, None] + cols).reshape(-1)
     fl = below.reshape(-1) & (win <= mi)
     fl = fl.at[0].set(False)  # window 0 = dist0, never in the stream
     starts_prev = jnp.concatenate([starts[:1] + 1, starts[:-1]])  # adj[0]=False
     adj = starts == starts_prev + rspan
-    contig = (col > 0) | adj[slot]
+    contig = jnp.concatenate(
+        [adj[:, None], jnp.ones((n_regions, rspan - 1), bool)], axis=1
+    ).reshape(-1)
     prev_b = jnp.concatenate([jnp.zeros(1, bool), fl[:-1]]) & contig
     rise = fl & ~prev_b
     nxt_contig = jnp.concatenate([contig[1:], jnp.zeros(1, bool)])
