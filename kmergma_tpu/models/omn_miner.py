@@ -138,7 +138,10 @@ def mine_genome_clusters(
                 dist_parts[ind].append(dists[1 : imax + 1])
         else:
             pairs = cluster_engine.record_streams(
-                record.codes, thr_vec, codes_dev=shared_dev
+                record.codes, thr_vec, codes_dev=shared_dev,
+                # sharded cluster engines resume MID-RECORD from the last
+                # completed span batch; others ignore the tracker
+                seg_tracker=ckpt.segment_tracker(record_idx) if ckpt else None,
             )
             dist0s = [p[0] for p in pairs]
             streams = [p[1] for p in pairs]

@@ -473,12 +473,15 @@ class ClusterScanEngine:
         return flat.reshape(n_tiles, m, tb).transpose(1, 0, 2).reshape(m, -1)
 
     def record_streams(
-        self, codes: np.ndarray, thrs: list[float], codes_dev=None
+        self, codes: np.ndarray, thrs: list[float], codes_dev=None, seg_tracker=None
     ) -> list[tuple[float, list[tuple[int, float]]]]:
         """Scan one record against every cluster profile in one device pass.
 
         Returns one (dist0, stream) per cluster - the exact contract of
         ScanEngine.record_stream, consumed by state_machine.replay_omn.
+        ``seg_tracker`` (mid-record segment resume) applies to the SHARDED
+        cluster engine only; this one-dispatch engine checkpoints per
+        record.
         """
         if len(thrs) != len(self.engines):
             raise ValueError(f"{len(self.engines)} clusters but {len(thrs)} thresholds")

@@ -439,23 +439,19 @@ class ShardedClusterScanEngine(ClusterScanEngine):
         )
         self.mesh = mesh if mesh is not None else make_mesh()
 
+    #: spans per device per segment batch on the checkpointed mid-record
+    #: path (mirrors ShardedScanEngine._seg_spd)
+    _seg_spd = 4
+
     def prepare_codes(self, codes: np.ndarray):
         return None  # regions are fetched from host codes; no shared device array
 
-    def record_streams(self, codes: np.ndarray, thrs: list[float], codes_dev=None):
-        if len(thrs) != len(self.engines):
-            raise ValueError(f"{len(self.engines)} clusters but {len(thrs)} thresholds")
-        codes = np.asarray(codes, dtype=np.int8)
-        n = codes.shape[0]
-        n_valids = np.array([n - e.ws + 1 for e in self.engines], dtype=np.int32)
-        if (n_valids < 1).any():
-            raise ValueError("record shorter than a cluster windowsize")
-        thr_ints = np.array(
-            [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
-        )
+    def _cluster_pass(self, codes: np.ndarray, n_valids_pass: np.ndarray, thr_ints: np.ndarray, spd: int) -> np.ndarray:
+        """One SPMD multi-cluster bitmap dispatch over the mesh: device d
+        scans spans [d*spd, (d+1)*spd) of the window range starting at
+        codes[0]; ``n_valids_pass`` = per-cluster valid windows in this
+        pass.  Returns bool[m, n_dev*spd*chunk // block]."""
         n_dev = self.mesh.shape["data"]
-        n_spans = -(-int(n_valids.max()) // self.chunk)
-        spd = _span_bucket(max(1, -(-n_spans // n_dev)))
         m = len(self.engines)
         t = self.engines[0].fused_t
         if self.sharded_fused and self.chunk % t == 0:
@@ -468,52 +464,109 @@ class ShardedClusterScanEngine(ClusterScanEngine):
             region_len = n_tiles * t + t + hw
             rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.max_ws, region_len)
             rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
-            flat = _with_retry(
-                lambda: np.asarray(
-                    _sharded_cluster_bitmaps_fused(
-                        rows_dev, jnp.asarray(n_valids), self.s_stack,
-                        jnp.asarray(thr_ints),
-                        k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
-                        depth=depth, span=self.chunk, spd=spd, t=t,
-                        block=self.block, mesh=self.mesh,
-                        interpret=jax.default_backend() != "tpu",
-                        max_ws=self.max_ws,
-                        lookup_dtype="f32" if self._s_max < 256 else "bf16",
-                    )
+            flat = np.asarray(
+                _sharded_cluster_bitmaps_fused(
+                    rows_dev, jnp.asarray(n_valids_pass), self.s_stack,
+                    jnp.asarray(thr_ints),
+                    k=self.k, specs=tuple((e.ws, e.r) for e in self.engines),
+                    depth=depth, span=self.chunk, spd=spd, t=t,
+                    block=self.block, mesh=self.mesh,
+                    interpret=jax.default_backend() != "tpu",
+                    max_ws=self.max_ws,
+                    lookup_dtype="f32" if self._s_max < 256 else "bf16",
                 )
             )
             tb = t // self.block
             # shard-major (tile, cluster, block) -> per-cluster global blocks
             g = flat.reshape(n_dev * (spd * self.chunk // t), m, tb)
-            per_cluster = np.transpose(g, (1, 0, 2)).reshape(m, -1).astype(bool)
-            by_cluster = [per_cluster[ci] for ci in range(m)]
-            imax = n - self.max_ws - self.k + 2
-            plans = [
-                eng._assemble_plan(
-                    codes, int(n_valids[ci]), thr, by_cluster[ci], max_index=imax
-                )
-                for ci, (eng, thr) in enumerate(zip(self.engines, thrs))
-            ]
-            return [eng._assemble_finish(p) for eng, p in zip(self.engines, plans)]
+            return np.transpose(g, (1, 0, 2)).reshape(m, -1).astype(bool)
         rows = _pack_region_rows(codes, n_dev, spd, self.chunk, self.max_ws)
         rows_dev = jax.device_put(rows, NamedSharding(self.mesh, P("data", None)))
-        bitmaps = _with_retry(
-            lambda: np.asarray(
-                _sharded_record_bitmaps(
-                    rows_dev, jnp.asarray(n_valids), self.s_stack, jnp.asarray(thr_ints),
-                    k=self.k, span=self.chunk, spd=spd, block=self.block,
-                    use_pallas=self.use_pallas, groups=self.groups, mesh=self.mesh,
-                )
+        bitmaps = np.asarray(
+            _sharded_record_bitmaps(
+                rows_dev, jnp.asarray(n_valids_pass), self.s_stack, jnp.asarray(thr_ints),
+                k=self.k, span=self.chunk, spd=spd, block=self.block,
+                use_pallas=self.use_pallas, groups=self.groups, mesh=self.mesh,
             )
+        )  # (n_dev*spd, m, span//block)
+        return np.transpose(bitmaps, (1, 0, 2)).reshape(len(self.engines), -1).astype(bool)
+
+    def _segmented_cluster_bitmaps(self, codes: np.ndarray, n_valids: np.ndarray, thr_ints: np.ndarray, tracker):
+        """Mid-record checkpointed sharded CLUSTER pass (SURVEY 5.4 per-shard
+        tile index, cluster variant): segment batches of n_dev * _seg_spd
+        spans, each one SPMD dispatch whose m clusters' packed bitmap
+        words persist through ``tracker``.  Returns None when the record
+        fits one batch (per-record checkpointing is exact there)."""
+        n_dev = self.mesh.shape["data"]
+        m = len(self.engines)
+        nw_max = int(n_valids.max())
+        n_spans = -(-nw_max // self.chunk)
+        spd_full = _span_bucket(max(1, -(-n_spans // n_dev)))
+        spd = self._seg_spd
+        if spd_full <= spd:
+            return None
+        seg_windows = n_dev * spd * self.chunk
+        n_segs = -(-nw_max // seg_windows)
+        blocks_per_seg = m * (seg_windows // self.block)
+        fused = self.sharded_fused and self.chunk % self.engines[0].fused_t == 0
+        fp = (
+            f"shcluster|{self.k}|{tuple(e.ws for e in self.engines)}|"
+            f"{tuple(e.r for e in self.engines)}|{self.chunk}|{self.block}|"
+            f"{tuple(thr_ints.tolist())}|{self.groups[0][1]}|{fused}|"
+            f"{n_dev}|{spd}|{nw_max}"
         )
+        from ..ops.scan import _unpack_bitmap_words
+
+        start_seg, restored = tracker.resume(fp)
+        out = [
+            _unpack_bitmap_words(w, blocks_per_seg).reshape(m, -1) for w in restored
+        ]
+        pad = -(-blocks_per_seg // 32) * 32 - blocks_per_seg
+        for si in range(start_seg, n_segs):
+            off = si * seg_windows
+            nv_seg = np.clip(n_valids.astype(np.int64) - off, 0, seg_windows).astype(np.int32)
+            bc = _with_retry(
+                lambda: self._cluster_pass(codes[off:], nv_seg, thr_ints, spd)
+            )
+            bc = bc[:, : seg_windows // self.block]
+            words = np.packbits(
+                np.pad(bc.reshape(-1), (0, pad)), bitorder="little"
+            ).view(np.uint32)
+            out.append(bc)
+            tracker.done_segment(si, words, fp)
+        return [
+            np.concatenate([seg[ci] for seg in out]) for ci in range(m)
+        ]
+
+    def record_streams(self, codes: np.ndarray, thrs: list[float], codes_dev=None, seg_tracker=None):
+        if len(thrs) != len(self.engines):
+            raise ValueError(f"{len(self.engines)} clusters but {len(thrs)} thresholds")
+        codes = np.asarray(codes, dtype=np.int8)
+        n = codes.shape[0]
+        n_valids = np.array([n - e.ws + 1 for e in self.engines], dtype=np.int32)
+        if (n_valids < 1).any():
+            raise ValueError("record shorter than a cluster windowsize")
+        thr_ints = np.array(
+            [e._thr_int(t) for e, t in zip(self.engines, thrs)], dtype=np.int32
+        )
+        by_cluster = None
+        if seg_tracker is not None:
+            by_cluster = self._segmented_cluster_bitmaps(
+                codes, n_valids, thr_ints, seg_tracker
+            )
+        if by_cluster is None:
+            n_dev = self.mesh.shape["data"]
+            n_spans = -(-int(n_valids.max()) // self.chunk)
+            spd = _span_bucket(max(1, -(-n_spans // n_dev)))
+            bc = _with_retry(lambda: self._cluster_pass(codes, n_valids, thr_ints, spd))
+            by_cluster = [bc[ci] for ci in range(len(self.engines))]
         # two-phase assembly: all clusters' region fetches in flight first;
         # streams bounded at the Omn loop's i <= imax (as the one-pass
         # cluster engine does - required for reduced-mode run minima)
         imax = n - self.max_ws - self.k + 2
         plans = [
             eng._assemble_plan(
-                codes, int(n_valids[ci]), thr, bitmaps[:, ci, :].reshape(-1),
-                max_index=imax,
+                codes, int(n_valids[ci]), thr, by_cluster[ci], max_index=imax
             )
             for ci, (eng, thr) in enumerate(zip(self.engines, thrs))
         ]

@@ -58,3 +58,15 @@ TEST_CONSENSUS_SEQ = (
     "AGCCTGAAACCTGAGGGCACGGCCGTGTATTACTGTGGTAAAGAAGA"
 )
 TEST_KFV = [0.0, 0.0, 0.0, 2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0, 0.0, 2.0, 0.0]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """XLA:CPU keeps every compiled executable mmap'd; a full-suite run
+    accumulates ~65k mappings and hits the kernel's DEFAULT
+    vm.max_map_count (65530), segfaulting the compiler mid-suite (r5:
+    measured 64,420 maps at the crash).  Dropping JAX's executable caches
+    at module boundaries keeps the count bounded; per-module recompiles
+    are CPU-cheap."""
+    yield
+    jax.clear_caches()

@@ -103,11 +103,13 @@ class _DyingEngine:
     def prepare_codes(self, codes):
         return self.inner.prepare_codes(codes)
 
-    def record_streams(self, codes, thrs, codes_dev=None):
+    def record_streams(self, codes, thrs, codes_dev=None, seg_tracker=None):
         if self.left == 0:
             raise KeyboardInterrupt("simulated kill")
         self.left -= 1
-        return self.inner.record_streams(codes, thrs, codes_dev=codes_dev)
+        return self.inner.record_streams(
+            codes, thrs, codes_dev=codes_dev, seg_tracker=seg_tracker
+        )
 
     @property
     def engines(self):
@@ -411,3 +413,99 @@ def test_sharded_segmented_stream_equals_unsegmented(tmp_path, ref_fasta, mini_g
         assert ckpt.seg_next >= 2  # the segmented path actually ran
         assert (d0_b, stream_b) == (d0_a, stream_a)
         assert len(stream_a) > 0
+
+
+def test_sharded_cluster_mid_record_segment_resume(tmp_path, ref_fasta):
+    """Sharded CLUSTER engine: a record spanning >=3 segment batches killed
+    mid-scan resumes from the last batch every shard completed, with only
+    the remaining batches recomputed (SURVEY 5.4, cluster variant)."""
+    import json
+    import os
+
+    from kmergma_tpu.models.omn_miner import mine_genome_clusters
+    from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params
+    from kmergma_tpu.parallel.mesh import make_mesh
+    from kmergma_tpu.parallel.sharded_scan import ShardedClusterScanEngine
+    from kmergma_tpu.utils.fasta import FastaRecord, as_records
+
+    clusters = eliminate_null_params(cluster_ref_api(ref_fasta, 6, cutoffs=[7, 12, 20, 25]))
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(clusters.profiles)]
+    rng = np.random.default_rng(9)
+    n = 120_000
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, n)].copy()
+    refs = as_records(ref_fasta)
+    for pos in (15_000, 48_000, 76_000, 104_000):
+        g = refs[pos % len(refs)].seq.upper()
+        seq[pos : pos + len(g)] = np.frombuffer(g, dtype=np.uint8)
+    record = FastaRecord("bigc", seq.tobytes())
+
+    def fresh():
+        return ShardedClusterScanEngine(
+            clusters.profiles, k=6, mesh=make_mesh(8), chunk_windows=1024
+        )
+
+    baseline = mine_genome_clusters([record], clusters.profiles, thr_vec=thrs,
+                                    engine=fresh(), get_hit_loci=True)
+    assert len(baseline.hits) >= 3
+
+    engine = fresh()
+    ckpt = str(tmp_path / "shcseg.ckpt")
+    real_segmented = engine._segmented_cluster_bitmaps
+
+    def killer(codes, n_valids, thr_ints, tracker):
+        orig_done = tracker.done_segment
+
+        def dying_done(si, words, fp):
+            orig_done(si, words, fp)
+            if si + 1 >= 2:
+                raise KeyboardInterrupt("killed mid-record")
+
+        tracker.done_segment = dying_done
+        return real_segmented(codes, n_valids, thr_ints, tracker)
+
+    engine._segmented_cluster_bitmaps = killer
+    with pytest.raises(KeyboardInterrupt):
+        mine_genome_clusters([record], clusters.profiles, thr_vec=thrs,
+                             engine=engine, get_hit_loci=True, checkpoint_path=ckpt)
+    data = json.load(open(ckpt))
+    assert data["seg_record"] == 0 and data["seg_next"] == 2
+
+    # resume: only the remaining batches rerun through the SPMD pass
+    engine._segmented_cluster_bitmaps = real_segmented
+    calls = {"n": 0}
+    real_pass = engine._cluster_pass
+
+    def counting_pass(codes, nv, thr_ints, spd):
+        calls["n"] += 1
+        return real_pass(codes, nv, thr_ints, spd)
+
+    engine._cluster_pass = counting_pass
+    res = mine_genome_clusters([record], clusters.profiles, thr_vec=thrs,
+                               engine=engine, get_hit_loci=True, checkpoint_path=ckpt)
+    assert calls["n"] == 2  # 4 batches, 2 persisted
+    assert [h.description for h in res.hits] == [h.description for h in baseline.hits]
+    assert res.hit_loci == baseline.hit_loci
+    assert not os.path.exists(ckpt)
+
+
+def test_sharded_cluster_segmented_equals_unsegmented(tmp_path, ref_fasta, mini_genome):
+    """The segmented (checkpointed) sharded cluster pass must produce the
+    same per-cluster streams as the one-dispatch pass."""
+    from kmergma_tpu.ops.reference import cluster_ref_api, eliminate_null_params
+    from kmergma_tpu.parallel.mesh import make_mesh
+    from kmergma_tpu.parallel.sharded_scan import ShardedClusterScanEngine
+    from kmergma_tpu.utils.checkpoint import ScanCheckpoint
+    from kmergma_tpu.utils.fasta import as_records
+
+    clusters = eliminate_null_params(cluster_ref_api(ref_fasta, 6, cutoffs=[7, 12, 20, 25]))
+    thrs = [35.0, 31.0, 38.0, 34.0, 27.0, 27.0][: len(clusters.profiles)]
+    record = as_records(mini_genome)[0]
+    engine = ShardedClusterScanEngine(
+        clusters.profiles, k=6, mesh=make_mesh(8), chunk_windows=1024
+    )
+    a = engine.record_streams(record.codes, thrs)
+    ckpt = ScanCheckpoint.load_or_create(str(tmp_path / "sc.ckpt"), "g")
+    b = engine.record_streams(record.codes, thrs, seg_tracker=ckpt.segment_tracker(0))
+    assert ckpt.seg_next >= 2  # the segmented path actually ran
+    assert b == a
+    assert any(len(s) > 0 for _, s in a)
