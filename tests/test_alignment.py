@@ -148,3 +148,22 @@ def test_device_align_run_overflow_falls_back(monkeypatch):
         single = semiglobal_align(query, s, -69, -1)
         assert r.score == single.score
         assert r.cigar == single.cigar
+
+
+def test_batch_align_without_native_toolchain(monkeypatch):
+    """semiglobal_align_batch must fall back to the NumPy wavefront (and
+    stay bit-identical) when the native library is unavailable."""
+    import numpy as np
+
+    import kmergma_tpu.utils.native as native_mod
+    from kmergma_tpu.ops.align import semiglobal_align_batch
+
+    monkeypatch.setattr(native_mod, "get_lib", lambda: None)
+    rng = np.random.default_rng(14)
+    query = "".join("ATGC"[i] for i in rng.integers(0, 4, 50))
+    subjects = ["".join("ATGCN"[i] for i in rng.integers(0, 5, 80)) for _ in range(6)]
+    got = semiglobal_align_batch(query, subjects, -69, -1)
+    for s, r in zip(subjects, got):
+        single = semiglobal_align(query, s, -69, -1)
+        assert r.score == single.score
+        assert r.cigar == single.cigar
