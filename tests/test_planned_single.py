@@ -144,3 +144,40 @@ def test_planned_tiny_record_tail_clamp():
     b = hostp.record_stream(codes, 1e9)
     assert a[:2] == b[:2]
     assert len(a[1]) == codes.shape[0] - 240  # every window active
+
+
+def test_planned_run_slot_overflow_falls_back():
+    """A record with more below-runs than the fused-reduce slot bucket
+    must fall back to the separate run-reduce trip - identical stream
+    (the multi-hundred-candidate 3.2 Gbp bench records take this path)."""
+    import kmergma_tpu.ops.scan as S
+
+    # big enough that a mid-distribution threshold yields > _RED_RUNS
+    # maximal below-runs (window distances are smooth, so runs are long:
+    # ~50 windows each - the 50k fixture only reaches ~400 runs)
+    s, codes = _problem(6, n=200_000)
+    planned = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=1 << 17)
+    hostp = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=1 << 17)
+    hostp.device_plan = False
+    planned.full_fetch_windows = 0
+    hostp.full_fetch_windows = 0
+    from kmergma_tpu.ops.scan_host import scan_window_distances_np_i64
+
+    d = scan_window_distances_np_i64(codes, s, 6, 240, 5)
+    thr = float(np.percentile(d / planned.scale, 45.0))
+    calls = {"fallback": 0}
+    real = S.ScanEngine._stream_from_reduction
+
+    def counting(self, *a, **k):
+        calls["fallback"] += 1
+        return real(self, *a, **k)
+
+    S.ScanEngine._stream_from_reduction = counting
+    try:
+        a = planned.record_stream(codes, thr)
+    finally:
+        S.ScanEngine._stream_from_reduction = real
+    b = hostp.record_stream(codes, thr)
+    assert calls["fallback"] == 1  # the run bucket genuinely overflowed
+    assert a[:2] == b[:2]
+    assert len(a[1]) > 2 * S._RED_RUNS  # the fixture has > bucket runs
