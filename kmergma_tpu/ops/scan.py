@@ -610,11 +610,14 @@ def _below_and_words(d, starts, meta, n_valid_rows=None):
 
 #: fused-reduce run-slot bucket: per-profile capacity of the in-dispatch
 #: run reduction (overflowing records fall back to the separate
-#: run-reduce round trip - same results, one more trip)
-_RED_RUNS = 1024
+#: run-reduce round trip - same results, one more trip).  4096 covers the
+#: ~2-3.6k runs/record of the dense multi-Gbp bench records (43k stream
+#: entries over 6 x 512 Mbp) at +60 KB of blob - the 1024 bucket sent
+#: every such record through the fallback trip.
+_RED_RUNS = 4096
 
 
-def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS):
+def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=None):
     """Run extraction + per-run (min, first-argmin) + edge values ON
     DEVICE - the run-reduce round trip folded into the planned dispatch
     (r5; host equivalents: _extract_runs + _run_pieces + _run_reduce).
@@ -634,7 +637,7 @@ def _device_run_reduce(d, below, starts, rspan, mi, run_bucket=_RED_RUNS):
        edge_ok[R]] - exactly the per-run data the host stream needs;
     slot overflow is detected by the caller via n_runs.
     """
-    R = run_bucket
+    R = _RED_RUNS if run_bucket is None else run_bucket
     n_regions = d.shape[0]
     dfl = d.reshape(-1)
     nfl = dfl.shape[0]
@@ -739,7 +742,7 @@ def _scan_region_rows_summarized(rows, starts, s_profile, meta, *, k, ws, r, rsp
     return d, _below_words_and_count(d, starts, meta)
 
 
-def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None, reduce_mi=None, red_runs=_RED_RUNS):
+def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, rspan, n_regions, specs, use_pallas, region_valid=None, reduce_mi=None, red_runs=None):
     """Body of the summarized multi-cluster region pass (shared between the
     standalone jit below and the fused planned dispatches).
 
@@ -770,7 +773,8 @@ def _regions_summarized_multi_body(codes_dev, starts_flat, s_stack, meta, *, k, 
         if reduce_mi is not None:
             red_parts.append(
                 _device_run_reduce(
-                    d, below, starts, rspan, reduce_mi[ci], run_bucket=red_runs
+                    d, below, starts, rspan, reduce_mi[ci],
+                    run_bucket=_RED_RUNS if red_runs is None else red_runs,
                 )
             )
         d_parts.append(d.reshape(-1))
@@ -1483,13 +1487,13 @@ class ScanEngine:
         bits = _unpack_bitmap_words(words[:-2], n_regions * rspan)[: nvr * rspan]
         return self._stream_from_reduction(d_h, bits, starts, rspan, nw - 1, dist0)
 
-    def _stream_from_device_reduce(self, red: np.ndarray, dist0: float, run_bucket: int = _RED_RUNS):
+    def _stream_from_device_reduce(self, red: np.ndarray, dist0: float, run_bucket: "int | None" = None):
         """Stream assembly from a fetched _device_run_reduce section: the
         per-run (first-argmin window, min) entries plus the rising-edge
         entries, merge-sorted - bit-identical to _finish_reduction's
         output by construction.  Returns None on run-slot overflow (the
         caller falls back to the separate run-reduce round trip)."""
-        R = run_bucket
+        R = _RED_RUNS if run_bucket is None else run_bucket
         n_runs = int(red[0])
         if n_runs > R:
             return None

@@ -146,24 +146,27 @@ def test_planned_tiny_record_tail_clamp():
     assert len(a[1]) == codes.shape[0] - 240  # every window active
 
 
-def test_planned_run_slot_overflow_falls_back():
+def test_planned_run_slot_overflow_falls_back(monkeypatch):
     """A record with more below-runs than the fused-reduce slot bucket
     must fall back to the separate run-reduce trip - identical stream
-    (the multi-hundred-candidate 3.2 Gbp bench records take this path)."""
+    (dense multi-Gbp records with tens of thousands of candidates take
+    this path when they exceed the production bucket).  The bucket is
+    shrunk via the module global, with a UNIQUE chunk so the planned jit
+    traces fresh at the patched size (the global is read at trace time
+    and is not part of the jit key)."""
     import kmergma_tpu.ops.scan as S
 
-    # big enough that a mid-distribution threshold yields > _RED_RUNS
-    # maximal below-runs (window distances are smooth, so runs are long:
-    # ~50 windows each - the 50k fixture only reaches ~400 runs)
-    s, codes = _problem(6, n=200_000)
-    planned = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=1 << 17)
-    hostp = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=1 << 17)
+    monkeypatch.setattr(S, "_RED_RUNS", 64)
+    s, codes = _problem(6)
+    planned = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=3 * (1 << 13))
+    hostp = ScanEngine(s, k=6, ws=240, r=5, chunk_windows=3 * (1 << 13))
     hostp.device_plan = False
     planned.full_fetch_windows = 0
     hostp.full_fetch_windows = 0
     from kmergma_tpu.ops.scan_host import scan_window_distances_np_i64
 
     d = scan_window_distances_np_i64(codes, s, 6, 240, 5)
+    # a mid-distribution threshold yields ~400 runs >> the shrunk bucket
     thr = float(np.percentile(d / planned.scale, 45.0))
     calls = {"fallback": 0}
     real = S.ScanEngine._stream_from_reduction
@@ -172,12 +175,10 @@ def test_planned_run_slot_overflow_falls_back():
         calls["fallback"] += 1
         return real(self, *a, **k)
 
-    S.ScanEngine._stream_from_reduction = counting
-    try:
-        a = planned.record_stream(codes, thr)
-    finally:
-        S.ScanEngine._stream_from_reduction = real
+    monkeypatch.setattr(S.ScanEngine, "_stream_from_reduction", counting)
+    a = planned.record_stream(codes, thr)
+    monkeypatch.setattr(S.ScanEngine, "_stream_from_reduction", real)
     b = hostp.record_stream(codes, thr)
     assert calls["fallback"] == 1  # the run bucket genuinely overflowed
     assert a[:2] == b[:2]
-    assert len(a[1]) > 2 * S._RED_RUNS  # the fixture has > bucket runs
+    assert len(a[1]) > 2 * 64  # the fixture has > bucket runs
