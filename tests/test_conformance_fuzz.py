@@ -180,3 +180,83 @@ def test_strobe_extraction_fuzz_host_vs_device(seed):
     dev = np.asarray(strobe_2_mer_codes_jnp(jnp.asarray(codes), s=2, w_min=w_min, w_max=w_max, q=q))
     assert host.shape == dev.shape
     assert np.array_equal(host, dev.astype(np.int64)), (seed, w_min, w_max, q)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cluster_engine_fuzz_vs_host_oracle(seed):
+    """Cluster-mode streams vs an INDEPENDENT oracle: each cluster's
+    stream recomputed from the exact int64 host distances (the reference's
+    own recurrence), truncated at the Omn loop bound - then both replayed
+    through the Omn state machine to identical hit events."""
+    from kmergma_tpu.models.state_machine import replay_omn
+    from kmergma_tpu.ops.scan_cluster import ClusterScanEngine
+
+    rng = np.random.default_rng(400 + seed)
+    k = int(rng.integers(4, 7))
+    m = int(rng.integers(2, 5))
+    n = int(rng.integers(20_000, 40_000))
+
+    class P:
+        def __init__(self, ws, r, g):
+            self.windowsize = ws
+            self.n_records = r
+            self.sum_kfv = np.zeros(4**k, dtype=np.int64)
+            self.refs = [g.integers(0, 4, ws, dtype=np.int8) for _ in range(r)]
+            for ref in self.refs:
+                self.sum_kfv += kmer_count(ref, k).astype(np.int64)
+
+    base_ws = int(rng.integers(80, 200))
+    profiles = [
+        P(base_ws + int(rng.integers(0, 4)), int(rng.integers(1, 6)), rng)
+        for _ in range(m)
+    ]
+    codes = rng.integers(0, 4, n, dtype=np.int8)
+    for pos in range(2_000, n - 300, int(rng.integers(3_000, 6_000))):
+        src = profiles[pos % m]
+        mutant = src.refs[pos % src.n_records].copy()
+        idx = rng.integers(0, src.windowsize, src.windowsize // 6)
+        mutant[idx] = rng.integers(0, 4, idx.shape[0])
+        codes[pos : pos + src.windowsize] = mutant
+
+    eng = ClusterScanEngine(profiles, k=k, chunk_windows=1 << 13)
+    max_ws = max(p.windowsize for p in profiles)
+    imax = n - max_ws - k + 2
+
+    # thresholds from each cluster's own distance distribution
+    thrs = []
+    oracle = []
+    for p in profiles:
+        d = scan_window_distances_np_i64(codes, p.sum_kfv, k, p.windowsize, p.n_records)
+        scale = 2.0 * k * p.n_records * p.n_records
+        thrs.append(float(np.percentile(d / scale, float(rng.uniform(1.5, 5.0)))))
+        oracle.append((d, scale))
+
+    got = eng.record_streams(codes, thrs)
+
+    # independent per-cluster stream from the host distances
+    want = []
+    for (d, scale), thr in zip(oracle, thrs):
+        # the float64 comparison IS the conformance contract the engine's
+        # exact integer threshold reproduces (_thr_exact)
+        below = (d / scale) < thr
+        below[imax + 1 :] = False  # the Omn loop bound
+        mask = below.copy()
+        mask[1:] |= below[:-1]
+        mask[0] = False
+        mask[imax + 2 :] = False
+        idx = np.nonzero(mask)[0]
+        want.append((float(d[0]) / scale, list(zip(idx.tolist(), (d[idx] / scale).tolist()))))
+
+    def events(pairs):
+        out = []
+        replay_omn(
+            [p[1] for p in pairs], [p[0] for p in pairs], thrs, k,
+            [p.windowsize for p in profiles], n,
+            lambda ev: out.append((ev.cluster, ev.cmi, ev.dist, ev.edge_dist)) or True,
+        )
+        return out
+
+    assert [g[0] for g in got] == [w[0] for w in want]  # dist0s
+    ev_got, ev_want = events(got), events(want)
+    assert ev_got == ev_want, (seed, k, m)
+    assert len(ev_want) > 0
